@@ -2,15 +2,20 @@
 
 Tests run on CPU with XLA's host-platform device-count override — the
 standard JAX way to exercise Mesh/shard_map/pjit code paths without a real
-TPU slice (SURVEY.md S4). Must run before the first jax import.
+TPU slice (SURVEY.md S4). Note: this environment pre-imports jax via
+sitecustomize (the axon TPU tunnel), so env vars are too late — we must use
+jax.config before any backend is initialized by a test.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -30,7 +35,6 @@ def small_L(rng):
     a real 4096x4096 Cholesky.
     """
     n = 64 * 64
-    # sparse-ish band to keep the (4096,4096) matmul in tests cheap-ish
     L = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.02)
     np.fill_diagonal(L, 1.0)
     return L

@@ -56,7 +56,7 @@ def test_res64_bn_exact(small_L, rng):
         noise_type="gaussianBN", inplace=True,
     )
     xf = _oracle_flatten(x)
-    want_bn = np.einsum("pq,bqc->bpc", small_L, xf)
+    want_bn = np.matmul(small_L.astype(np.float64), xf.astype(np.float64)).astype(np.float32)
     want_bn = np.transpose(want_bn, (0, 2, 1)).reshape(2, 3, 64, 64)
     np.testing.assert_allclose(np.asarray(bn), want_bn, rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(wn), x)
@@ -90,7 +90,7 @@ def test_res128_quirks_exact(small_L, rng):
     )
     tf = _oracle_flatten(t)  # (4b, 4096, 3)
     want_wn = _oracle_padding(_oracle_scramble(tf, 64, 64).reshape(b, 4, 3, 64, 64))
-    bn_t = np.einsum("pq,bqc->bpc", small_L, tf)
+    bn_t = np.matmul(small_L.astype(np.float64), tf.astype(np.float64)).astype(np.float32)
     bn_t = np.transpose(bn_t, (0, 2, 1)).reshape(b, 4, 3, 64, 64)
     want_bn = _oracle_padding(bn_t)
     np.testing.assert_array_equal(np.asarray(wn), want_wn)
@@ -126,7 +126,7 @@ def test_res128_tile_order_grouping(small_L, rng):
         [x[:, :, :64, :64], x[:, :, :64, 64:], x[:, :, 64:, :64], x[:, :, 64:, 64:]], axis=0
     )
     tf = _oracle_flatten(t)
-    bn_t = np.einsum("pq,bqc->bpc", small_L, tf)
+    bn_t = np.matmul(small_L.astype(np.float64), tf.astype(np.float64)).astype(np.float32)
     bn_t = np.transpose(bn_t, (0, 2, 1)).reshape(4 * b, 3, 64, 64)
     want_sample0 = _oracle_padding(bn_t.reshape(b, 4, 3, 64, 64))[0]
     np.testing.assert_allclose(np.asarray(bn)[0], want_sample0, rtol=2e-5, atol=2e-5)
@@ -145,7 +145,7 @@ def test_res32_tile_and_crop(small_L, rng):
     # oracle for bn: tile x to 64, correlate, crop
     x64 = np.tile(x, (1, 1, 2, 2))
     xf = _oracle_flatten(x64)
-    want = np.einsum("pq,bqc->bpc", small_L, xf)
+    want = np.matmul(small_L.astype(np.float64), xf.astype(np.float64)).astype(np.float32)
     want = np.transpose(want, (0, 2, 1)).reshape(2, 4, 64, 64)[:, :, :32, :32]
     np.testing.assert_allclose(np.asarray(bn), want, rtol=2e-5, atol=2e-5)
     # gamma=0 -> pure bn; gamma=1 -> pure wn

