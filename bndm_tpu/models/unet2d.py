@@ -1,0 +1,359 @@
+"""Flax UNet2D — TPU-native equivalent of diffusers ``UNet2DModel``.
+
+Implements exactly the subset the reference exercises (SURVEY.md S2.7):
+DownBlock2D / AttnDownBlock2D / UpBlock2D / AttnUpBlock2D, UNetMidBlock2D
+with attention, layers_per_block=2, sinusoidal timestep embedding accepting
+*float* timesteps (the IADB pipelines pass the continuous blend factor alpha
+as the "timestep" — reference iadb_bn.py:319,941 — while DDIM passes integer
+steps), silu/gelu/mish activations, GroupNorm(32, eps=1e-5), per-resolution
+block layouts (reference iadb_bn.py:205-282, ddim_diffusers.py:375-455,
+latent_...:335-372).
+
+TPU-first design choices:
+  * NHWC internally (XLA:TPU's preferred conv layout); the public interface
+    stays NCHW to match the reference's tensors and checkpoints.
+  * compute dtype is configurable (bf16 by default on TPU) with fp32 params;
+    attention softmax always in fp32 (mirrors diffusers' upcast_softmax).
+  * module/parameter names mirror the diffusers state_dict so the checkpoint
+    converter (bndm_tpu.models.convert) is a pure name/layout mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ACT = {
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "gelu": nn.gelu,
+    "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+    "relu": nn.relu,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConfig:
+    """Mirror of the diffusers UNet2DModel constructor subset in use."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (128, 128, 256, 256, 512, 512)
+    down_block_types: Tuple[str, ...] = (
+        "DownBlock2D", "DownBlock2D", "DownBlock2D", "DownBlock2D",
+        "AttnDownBlock2D", "DownBlock2D",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlock2D", "AttnUpBlock2D", "UpBlock2D", "UpBlock2D",
+        "UpBlock2D", "UpBlock2D",
+    )
+    layers_per_block: int = 2
+    act_fn: str = "silu"
+    attention_head_dim: int = 8
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    add_attention: bool = True  # mid-block attention
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    dropout: float = 0.0
+    dtype: str = "float32"  # compute dtype ("bfloat16" on TPU for speed)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32"):
+    """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
+
+    res 64:  6 blocks (128,128,256,256,512,512), attn 5th down / 2nd up
+    res 128: 7 blocks (128,128,128,256,256,512,512), attn 6th down / 2nd up
+    res 256: 8 blocks (128,128,128,128,256,256,512,512), attn 7th down / 2nd up
+    latent32 (256^2 pixels): 3 blocks (128,256,256), attn 3rd down / 1st up
+    (latent_...:348-354)
+    """
+    if res == 64:
+        boc = (128, 128, 256, 256, 512, 512)
+        attn_down, attn_up = 4, 1
+    elif res == 128:
+        boc = (128, 128, 128, 256, 256, 512, 512)
+        attn_down, attn_up = 5, 1
+    elif res == 256:
+        boc = (128, 128, 128, 128, 256, 256, 512, 512)
+        attn_down, attn_up = 6, 1
+    elif res == "latent32":
+        boc = (128, 256, 256)
+        attn_down, attn_up = 2, 0
+    else:
+        raise NotImplementedError(f"res {res}")
+    n = len(boc)
+    down = tuple(
+        "AttnDownBlock2D" if i == attn_down else "DownBlock2D" for i in range(n)
+    )
+    up = tuple("AttnUpBlock2D" if i == attn_up else "UpBlock2D" for i in range(n))
+    return UNet2DConfig(
+        in_channels=in_channels,
+        out_channels=out_channels,
+        block_out_channels=boc,
+        down_block_types=down,
+        up_block_types=up,
+        act_fn=act_fn,
+        dtype=dtype,
+    )
+
+
+def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=True,
+                           downscale_freq_shift=0.0, max_period=10000.0):
+    """Sinusoidal embedding of (possibly float) timesteps: (B,) -> (B, dim).
+
+    Matches diffusers ``get_timestep_embedding`` with UNet2DModel defaults
+    (flip_sin_to_cos=True, freq_shift=0): exponents over half_dim, then
+    [cos | sin] when flipped.
+    """
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, temb):
+        temb = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(temb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(temb)
+        return temb
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    act_fn: str = "silu"
+    groups: int = 32
+    eps: float = 1e-5
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic=True):
+        act = ACT[self.act_fn]
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = act(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            act(temb).astype(self.dtype)
+        )
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = act(h).astype(self.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over (H*W) tokens, residual, fp32 softmax.
+
+    Mirrors the diffusers Attention module as instantiated by the UNet2D
+    blocks (residual_connection=True, bias=True, upcast_softmax=True,
+    heads = channels // attention_head_dim).
+    """
+
+    head_dim: int = 8
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        heads = max(1, c // self.head_dim)
+        dh = c // heads
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        h = h.astype(self.dtype).reshape(b, hh * ww, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(h)
+        q = q.reshape(b, -1, heads, dh)
+        k = k.reshape(b, -1, heads, dh)
+        v = v.reshape(b, -1, heads, dh)
+        scale = 1.0 / math.sqrt(dh)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, hh * ww, c)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
+        return out.reshape(b, hh, ww, c) + residual
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # conv stride 2, padding 1 (diffusers Downsample2D with use_conv=True)
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class DownBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    with_attn: bool
+    add_downsample: bool
+    cfg: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic=True):
+        cfg = self.cfg
+        skips = []
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
+                cfg.dropout, cfg.compute_dtype, name=f"resnets_{i}",
+            )(x, temb, deterministic)
+            if self.with_attn:
+                x = AttentionBlock(
+                    cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
+                    cfg.compute_dtype, name=f"attentions_{i}",
+                )(x)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, cfg.compute_dtype, name="downsamplers_0")(x)
+            skips.append(x)
+        return x, skips
+
+
+class UpBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int
+    with_attn: bool
+    add_upsample: bool
+    cfg: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x, skips, temb, deterministic=True):
+        cfg = self.cfg
+        for i in range(self.num_layers):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ResnetBlock2D(
+                self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
+                cfg.dropout, cfg.compute_dtype, name=f"resnets_{i}",
+            )(x, temb, deterministic)
+            if self.with_attn:
+                x = AttentionBlock(
+                    cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
+                    cfg.compute_dtype, name=f"attentions_{i}",
+                )(x)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, cfg.compute_dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UNetMidBlock2D(nn.Module):
+    cfg: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic=True):
+        cfg = self.cfg
+        c = x.shape[-1]
+        x = ResnetBlock2D(
+            c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
+            cfg.compute_dtype, name="resnets_0",
+        )(x, temb, deterministic)
+        if cfg.add_attention:
+            x = AttentionBlock(
+                cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
+                cfg.compute_dtype, name="attentions_0",
+            )(x)
+        x = ResnetBlock2D(
+            c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
+            cfg.compute_dtype, name="resnets_1",
+        )(x, temb, deterministic)
+        return x
+
+
+class UNet2D(nn.Module):
+    """Full UNet. Public call signature: (x_NCHW, timesteps) -> out_NCHW."""
+
+    cfg: UNet2DConfig
+
+    @nn.compact
+    def __call__(self, x, timesteps, deterministic=True):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
+
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW -> NHWC
+
+        temb = get_timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        )
+        temb = TimestepEmbedding(
+            cfg.block_out_channels[0] * 4, dtype=dt, name="time_embedding"
+        )(temb)
+
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+
+        skips = [h]
+        n = len(cfg.block_out_channels)
+        for i, (btype, c) in enumerate(zip(cfg.down_block_types, cfg.block_out_channels)):
+            h, s = DownBlock2D(
+                out_channels=c,
+                num_layers=cfg.layers_per_block,
+                with_attn=(btype == "AttnDownBlock2D"),
+                add_downsample=(i < n - 1),
+                cfg=cfg,
+                name=f"down_blocks_{i}",
+            )(h, temb, deterministic)
+            skips.extend(s)
+
+        h = UNetMidBlock2D(cfg, name="mid_block")(h, temb, deterministic)
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for i, btype in enumerate(cfg.up_block_types):
+            c = rev_channels[i]
+            h = UpBlock2D(
+                out_channels=c,
+                num_layers=cfg.layers_per_block + 1,
+                with_attn=(btype == "AttnUpBlock2D"),
+                add_upsample=(i < n - 1),
+                cfg=cfg,
+                name=f"up_blocks_{i}",
+            )(h, skips, temb, deterministic)
+
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=jnp.float32,
+                         name="conv_norm_out")(h)
+        h = ACT[cfg.act_fn](h).astype(dt)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
+        return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
