@@ -1,0 +1,168 @@
+"""DDIM scheduler + sampler in JAX (the reference's comparison baseline).
+
+Re-implements the subset of diffusers' ``DDIMScheduler`` the reference
+exercises (ddim_diffusers.py:499 construction with num_train_timesteps +
+beta_schedule + prediction_type; test loop :655-683 with eta=0 via
+``scheduler.step(...).prev_sample``), with diffusers defaults:
+beta_start=1e-4, beta_end=0.02, linear or squaredcos_cap_v2 betas,
+clip_sample=True, set_alpha_to_one=True, steps_offset=0, "leading" timestep
+spacing. The sampling loop is one jitted lax.scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _make_betas(num_train_timesteps, beta_schedule, beta_start, beta_end):
+    if beta_schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float32)
+    if beta_schedule == "scaled_linear":
+        return (
+            np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float32)
+            ** 2
+        )
+    if beta_schedule == "squaredcos_cap_v2":
+        def f(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+        betas = [
+            min(1 - f((i + 1) / num_train_timesteps) / f(i / num_train_timesteps), 0.999)
+            for i in range(num_train_timesteps)
+        ]
+        return np.asarray(betas, dtype=np.float32)
+    raise NotImplementedError(beta_schedule)
+
+
+class DDIMScheduler:
+    def __init__(
+        self,
+        num_train_timesteps=1000,
+        beta_start=1e-4,
+        beta_end=0.02,
+        beta_schedule="linear",
+        prediction_type="epsilon",
+        clip_sample=True,
+        clip_sample_range=1.0,
+        set_alpha_to_one=True,
+        steps_offset=0,
+        timestep_spacing="leading",
+    ):
+        self.num_train_timesteps = num_train_timesteps
+        self.prediction_type = prediction_type
+        self.clip_sample = clip_sample
+        self.clip_sample_range = clip_sample_range
+        self.steps_offset = steps_offset
+        self.timestep_spacing = timestep_spacing
+        betas = _make_betas(num_train_timesteps, beta_schedule, beta_start, beta_end)
+        alphas = 1.0 - betas
+        self.alphas_cumprod = jnp.asarray(np.cumprod(alphas))
+        self.final_alpha_cumprod = jnp.asarray(
+            1.0 if set_alpha_to_one else float(np.cumprod(alphas)[0])
+        )
+        self.num_inference_steps = None
+        self.timesteps = None
+
+    def set_timesteps(self, num_inference_steps):
+        self.num_inference_steps = num_inference_steps
+        if self.timestep_spacing == "leading":
+            step_ratio = self.num_train_timesteps // num_inference_steps
+            ts = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+            ts += self.steps_offset
+        elif self.timestep_spacing == "trailing":
+            step_ratio = self.num_train_timesteps / num_inference_steps
+            ts = np.round(np.arange(self.num_train_timesteps, 0, -step_ratio)).astype(np.int64)
+            ts -= 1
+        else:
+            raise NotImplementedError(self.timestep_spacing)
+        self.timesteps = jnp.asarray(ts)
+        return self.timesteps
+
+    def _alpha_prod(self, t):
+        """alphas_cumprod[t] with the final_alpha fallback for t < 0."""
+        safe = jnp.clip(t, 0, self.num_train_timesteps - 1)
+        return jnp.where(t >= 0, self.alphas_cumprod[safe], self.final_alpha_cumprod)
+
+    def step(self, model_output, timestep, sample, eta=0.0):
+        """Deterministic DDIM step (eta=0, the reference's usage)."""
+        assert eta == 0.0, "stochastic DDIM not used by the reference"
+        t = jnp.asarray(timestep, jnp.int32)
+        prev_t = t - self.num_train_timesteps // self.num_inference_steps
+        alpha_prod_t = self._alpha_prod(t)
+        alpha_prod_prev = self._alpha_prod(prev_t)
+        beta_prod_t = 1.0 - alpha_prod_t
+
+        if self.prediction_type == "epsilon":
+            pred_x0 = (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
+            pred_eps = model_output
+        elif self.prediction_type == "sample":
+            pred_x0 = model_output
+            pred_eps = (sample - alpha_prod_t**0.5 * pred_x0) / beta_prod_t**0.5
+        elif self.prediction_type == "v_prediction":
+            pred_x0 = alpha_prod_t**0.5 * sample - beta_prod_t**0.5 * model_output
+            pred_eps = alpha_prod_t**0.5 * model_output + beta_prod_t**0.5 * sample
+        else:
+            raise NotImplementedError(self.prediction_type)
+
+        if self.clip_sample:
+            pred_x0 = jnp.clip(pred_x0, -self.clip_sample_range, self.clip_sample_range)
+            # diffusers recomputes eps from the clipped x0
+            pred_eps = (sample - alpha_prod_t**0.5 * pred_x0) / beta_prod_t**0.5
+
+        dir_xt = (1.0 - alpha_prod_prev) ** 0.5 * pred_eps
+        prev_sample = alpha_prod_prev**0.5 * pred_x0 + dir_xt
+        return prev_sample
+
+    def add_noise(self, original_samples, noise, timesteps):
+        """Forward process: sqrt(acp)*x0 + sqrt(1-acp)*eps (DDPM training)."""
+        acp = self.alphas_cumprod[timesteps].reshape(-1, 1, 1, 1)
+        return acp**0.5 * original_samples + (1.0 - acp) ** 0.5 * noise
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_fn", "scheduler", "num_inference_steps", "collect_frames")
+)
+def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps, collect_frames=False):
+    """DDIM reverse loop as one lax.scan. Returns (x, frames | None).
+
+    Frames mirror the reference test loop (ddim_diffusers.py:667-685): x[0:1]
+    is logged after the update whenever t % 100 == 0, plus the initial noise.
+    """
+    ts = scheduler.set_timesteps(num_inference_steps)
+
+    if collect_frames:
+        ts_np = np.asarray(ts)
+        frame_ts = [int(t) for t in ts_np if t % 100 == 0]
+        n_frames = 1 + len(frame_ts)
+        slot_of = {t: i + 1 for i, t in enumerate(frame_ts)}
+        slots = jnp.asarray(
+            [slot_of.get(int(t), -1) for t in ts_np], jnp.int32
+        )
+        frames0 = jnp.zeros((n_frames, 1) + x0.shape[1:], x0.dtype)
+        frames0 = frames0.at[0].set(x0[0:1])
+    else:
+        frames0 = None
+        slots = None
+
+    def body(carry, inp):
+        x, frames = carry
+        t, i = inp
+        tt = jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],))
+        d = apply_fn(params, x, tt)
+        x = scheduler.step(d, t, x)
+        if frames is not None:
+            slot = slots[i]
+            updated = jax.lax.dynamic_update_slice(
+                frames, x[0:1][None].astype(frames.dtype), (jnp.maximum(slot, 0), 0, 0, 0, 0)
+            )
+            frames = jnp.where(slot >= 0, updated, frames)
+        return (x, frames), None
+
+    idx = jnp.arange(ts.shape[0])
+    (x, frames), _ = jax.lax.scan(body, (x0, frames0), (ts, idx))
+    return x, frames

@@ -1,0 +1,151 @@
+"""IADB/BNDM samplers as a single jitted lax.scan.
+
+Rebuilds reference ``sample_iadb`` / ``sample_iadb_conditional``
+(iadb_bn.py:286-379, 384-438) and the latent ``IADBScheduler``
+(latent_...:75-142) TPU-first: the whole reverse Euler chain (e.g. 250
+sequential UNet calls) compiles into ONE ``lax.scan`` inside one jit — no
+per-step Python dispatch (SURVEY.md S3.2 "the benchmark path").
+
+Update rule per step t = T-1 .. 0 (reference :311-344):
+    a_s = alpha(t+1), a_e = alpha(t); g_s = gamma(t+1), g_e = gamma(t)
+    d   = model(x, a_s)
+    two-head BNDM (out = 2*C): x += (a_s - a_e) * d[:, :C] + (g_s - g_e) * d[:, C:]
+    single-head / gaussian / GBN: x += (a_s - a_e) * d
+
+Intermediate frames: the reference logs x[0:1] every ``log_freq`` steps
+(100 if T==1000 else 25) plus at t = T-1, *after* the update (:364-373).
+Frame steps are static, so they are written into a preallocated buffer
+inside the scan — still one compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bndm_tpu.ops.schedules import alpha_schedule, gamma_schedule
+
+
+def _frame_slots(nb_steps, log_freq):
+    """slot[t] = frame index in scan (t descending) order, or -1."""
+    steps = [t for t in reversed(range(nb_steps)) if t % log_freq == 0 or t == nb_steps - 1]
+    slots = [-1] * nb_steps
+    for i, t in enumerate(steps):
+        slots[t] = i
+    return slots, len(steps)
+
+
+def iadb_step(x, d, a_s, a_e, g_s, g_e, *, two_head):
+    """One reverse-Euler IADB update (shared by pixel and latent paths)."""
+    if two_head:
+        c = x.shape[1]
+        return x + (a_s - a_e) * d[:, :c] + (g_s - g_e) * d[:, c:]
+    return x + (a_s - a_e) * d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "nb_steps", "scheduler_alpha", "alpha_param",
+        "scheduler_gamma", "two_head", "collect_frames", "log_freq",
+    ),
+)
+def sample_iadb(
+    apply_fn,
+    params,
+    x0,
+    *,
+    nb_steps,
+    scheduler_alpha="linear",
+    alpha_param=0.02,
+    scheduler_gamma="linear",
+    gamma_params=(1.0, 0.0, 3.0),
+    two_head=False,
+    x_c: Optional[jax.Array] = None,
+    collect_frames=False,
+    log_freq=None,
+):
+    """Deterministic reverse sampling. Returns (x, frames | None).
+
+    ``apply_fn(params, x, t)``: the model; for the conditional super-res path
+    pass ``x_c`` and the model sees ``concat([x, x_c], 1)``
+    (reference iadb_bn.py:406). ``gamma_params`` may be a traced (3,) array
+    (learned tau/s/e). ``frames`` are the reference's logged intermediates of
+    sample 0, shape (n_frames, 1, C, H, W), in t-descending order.
+    """
+    gamma_params = jnp.asarray(gamma_params, jnp.float32)
+    if log_freq is None:
+        log_freq = 100 if nb_steps == 1000 else 25
+
+    ts = jnp.arange(nb_steps - 1, -1, -1, dtype=jnp.float32)
+
+    if collect_frames:
+        slots, n_frames = _frame_slots(nb_steps, log_freq)
+        slots = jnp.asarray(slots, jnp.int32)
+        frames0 = jnp.zeros((n_frames, 1) + x0.shape[1:], x0.dtype)
+    else:
+        frames0 = None
+
+    def alpha(t):
+        return alpha_schedule(t, nb_steps, scheduler_alpha, alpha_param)
+
+    def gamma(t):
+        return gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params)
+
+    def body(carry, t):
+        x, frames = carry
+        a_s, a_e = alpha(t + 1.0), alpha(t)
+        g_s, g_e = gamma(t + 1.0), gamma(t)
+        tt = jnp.broadcast_to(a_s, (x.shape[0],))
+        inp = x if x_c is None else jnp.concatenate([x, x_c], axis=1)
+        d = apply_fn(params, inp, tt)
+        x = iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
+        if frames is not None:
+            slot = slots[t.astype(jnp.int32)]
+            updated = jax.lax.dynamic_update_slice(
+                frames, x[0:1][None].astype(frames.dtype), (jnp.maximum(slot, 0), 0, 0, 0, 0)
+            )
+            frames = jnp.where(slot >= 0, updated, frames)
+        return (x, frames), None
+
+    (x, frames), _ = jax.lax.scan(body, (x0, frames0), ts)
+    return x, frames
+
+
+class IADBScheduler:
+    """diffusers-style scheduler facade (latent pipeline API parity).
+
+    Mirrors reference ``IADBScheduler`` (latent_...:75-142): linear
+    alpha = gamma = t / num_inference_steps, two-head step when the model
+    predicts 2*C channels, and the forward blend
+    ``add_noise = (1-alpha)*clean + alpha*noise`` (:127-138).
+    """
+
+    def __init__(self, num_train_timesteps: int = 1000):
+        self.num_train_timesteps = num_train_timesteps
+        self.num_inference_steps = None
+
+    def set_timesteps(self, num_inference_steps: int):
+        self.num_inference_steps = num_inference_steps
+
+    @property
+    def timesteps(self):
+        return list(reversed(range(self.num_inference_steps)))
+
+    def step(self, model_output, timestep, x_alpha, *, two_head=False):
+        if self.num_inference_steps is None:
+            raise ValueError("call set_timesteps first")
+        n = self.num_inference_steps
+        a = (timestep + 1) / n
+        a_next = timestep / n
+        return iadb_step(x_alpha, model_output, a, a_next, a, a_next, two_head=two_head)
+
+    def add_noise(self, original_samples, noise, alpha):
+        a = jnp.reshape(alpha, (-1, 1, 1, 1))
+        return (1.0 - a) * original_samples + a * noise
+
+    def __len__(self):
+        return self.num_train_timesteps
