@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers (TPU-native data parallelism).
+
+Replaces the reference's two DP mechanisms — torch ``DataParallel``
+(iadb_bn.py:573,716,838) and HF accelerate DDP over NCCL
+(ddim_diffusers.py:570-572, latent_...:426-428) — with the idiomatic JAX
+stack (SURVEY.md S2.4): a 1-D ``Mesh('data')`` over ICI, batches sharded via
+``NamedSharding(P('data'))``, parameters replicated; under ``jit`` XLA
+partitions the step and inserts the gradient all-reduce automatically (the
+pjit data-parallel recipe). Multi-host: call ``jax.distributed.initialize``
+before building the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis_name="data", devices=None):
+    """1-D mesh over the first n devices (default: all local devices)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_parallel_sharding(mesh, axis_name="data"):
+    """(batch_sharding, replicated_sharding) for the mesh."""
+    return NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch, axis_name="data"):
+    """Place a host array sharded along its leading (batch) axis."""
+    sh = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh, tree):
+    """Replicate a pytree (params/optimizer state) across the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
