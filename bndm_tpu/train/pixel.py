@@ -154,6 +154,8 @@ def make_train_step(apply_fn, cfg: TrainConfig, L):
             step=jnp.int32(0),
         )
 
+    # exposed for tests (e.g. sharded-vs-unsharded gradient parity)
+    train_step.loss_fn = loss_fn
     return train_step, init_state
 
 

@@ -1,0 +1,95 @@
+"""Data-parallel correctness on the 8-virtual-device CPU mesh.
+
+The TPU-native replacement for DataParallel/accelerate-DDP (SURVEY.md S2.4):
+batch sharded over Mesh('data'), params replicated, XLA inserts the gradient
+all-reduce. These tests pin down (a) that the sharded step runs on 8 devices
+and (b) that it is numerically identical to the unsharded step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bndm_tpu.models.unet2d import UNet2D, UNet2DConfig
+from bndm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from bndm_tpu.train.pixel import PixelTrainer, TrainConfig
+
+TINY = UNet2DConfig(
+    in_channels=3,
+    out_channels=6,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    attention_head_dim=4,
+    norm_num_groups=4,
+)
+
+
+@pytest.fixture(scope="module")
+def L():
+    rng = np.random.default_rng(7)
+    n = 4096
+    m = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.01)
+    np.fill_diagonal(m, 1.0)
+    return m
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_step_matches_unsharded(L):
+    """Loss and gradients computed on the sharded batch must equal the
+    unsharded ones (up to reduction-reordering float noise, measured
+    relative to the gradient norm — Adam-updated params are NOT compared
+    elementwise because Adam turns near-zero gradient sign flips into
+    full-size update flips)."""
+    mesh = make_mesh(8)
+    cfg = TrainConfig(nb_steps=100, noise_type="gaussianBN", scheduler_gamma="sigmoid",
+                      gamma_defaults=(0.2, 0.0, 3.0), out_channel=6)
+    model = UNet2D(TINY)
+    tr = PixelTrainer(model, cfg, L, jax.random.PRNGKey(0))
+    batch = jnp.asarray(
+        np.random.default_rng(3).uniform(0.2, 0.8, (16, 3, 64, 64)).astype(np.float32)
+    )
+    x1 = batch * 2.0 - 1.0
+    t = jnp.linspace(1.0, 100.0, 16)
+    nkey = jax.random.PRNGKey(5)
+
+    grad_fn = jax.jit(jax.value_and_grad(tr.train_step.loss_fn, argnums=(0, 1), has_aux=True))
+    (loss1, _), (g1, gs1) = grad_fn(tr.state.params, tr.state.sched_params, x1, t, nkey)
+
+    params_r = replicate(mesh, tr.state.params)
+    (loss2, _), (g2, gs2) = grad_fn(params_r, tr.state.sched_params, shard_batch(mesh, x1),
+                                    shard_batch(mesh, t), nkey)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    norm1 = float(optax_global_norm(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff < 1e-4 * max(norm1, 1.0), diff
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), rtol=1e-3, atol=1e-5)
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)
+
+
+def test_sharded_sampling(L):
+    """Gallery-scale sampling shards the batch across the mesh (replacing the
+    reference's DataParallel scatter/gather, iadb_bn.py:716)."""
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    mesh = make_mesh(8)
+    model = UNet2D(TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)), jnp.zeros((1,)))
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((16, 3, 16, 16)), jnp.float32)
+
+    out1, _ = sample_iadb(model.apply, params, x0, nb_steps=8, two_head=True)
+    out2, _ = sample_iadb(
+        model.apply, replicate(mesh, params), shard_batch(mesh, x0), nb_steps=8, two_head=True
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-5)
