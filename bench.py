@@ -1,0 +1,125 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): samples/sec/chip for IADB-BN sampling at the
+reference's benchmark config — AFHQ-Cat 64x64, 250 inference steps, batch 500,
+two-head BNDM UNet (113.7M params) — the whole 250-step reverse chain
+compiled as one lax.scan (reference path: iadb_bn.py test branch +
+scripts/sampling/cat_res64_test.sh). Also measures the blue-noise engine in
+Mpix/s (secondary, reported in "extra").
+
+vs_baseline: the reference commits NO numbers (BASELINE.md), so the baseline
+is an analytic RTX-4090 estimate on the same workload, documented here:
+UNet fwd FLOPs are taken from XLA's cost analysis of our model; the 4090 is
+credited 40 TF/s effective throughput on this UNet (165 TF/s fp16 tensor peak
+x ~25% achieved MFU — generous for eager diffusers inference at res 64).
+baseline_samples_per_sec = 40e12 / (flops_per_image * 250 steps).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench_sampling(batch=500, steps=250, res=64):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    cfg = unet_config_for_res(res, in_channels=3, out_channels=6, dtype="bfloat16")
+    model = UNet2D(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32), jnp.zeros((1,))
+    )
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
+
+    def run(params, x0):
+        out, _ = sample_iadb(
+            model.apply, params, x0,
+            nb_steps=steps, scheduler_gamma="sigmoid",
+            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+        )
+        return out
+
+    # FLOPs of one UNet forward (for the documented 4090 baseline estimate)
+    fwd = jax.jit(lambda p, x: model.apply(p, x, jnp.full((x.shape[0],), 0.5)))
+    try:
+        cost = fwd.lower(params, x0[:1]).compile().cost_analysis()
+        flops_per_image = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_image = 0.0
+
+    out = jax.block_until_ready(run(params, x0))  # compile + warmup
+    t0 = time.perf_counter()
+    n_iters = 1
+    out = jax.block_until_ready(run(params, x0))
+    dt = (time.perf_counter() - t0) / n_iters
+    sps = batch / dt
+    return sps, dt, flops_per_image
+
+
+def _bench_noise(batch=500, res=64, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.ops.noise import get_noise
+
+    rng = np.random.default_rng(7)
+    L = np.tril(rng.standard_normal((4096, 4096)).astype(np.float32) * 0.01)
+    np.fill_diagonal(L, 1.0)
+    L = jnp.asarray(L)
+
+    @jax.jit
+    def gen(key, gamma):
+        x = jnp.zeros((batch, 3, res, res), jnp.float32)
+        return get_noise(x, L, gamma, noise_type="gaussianBN", train=True, key=key).noise
+
+    key = jax.random.PRNGKey(0)
+    gamma = jnp.full((batch,), 0.5)
+    jax.block_until_ready(gen(key, gamma))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        jax.block_until_ready(gen(jax.random.fold_in(key, i), gamma))
+    dt = (time.perf_counter() - t0) / iters
+    mpix_s = batch * res * res / dt / 1e6
+    return mpix_s, dt
+
+
+def main():
+    import jax
+
+    sps, sample_dt, flops_per_image = _bench_sampling()
+    mpix_s, noise_dt = _bench_noise()
+
+    # documented analytic 4090 baseline (see module docstring)
+    eff_4090_flops = 40e12
+    steps = 250
+    if flops_per_image > 0:
+        baseline_sps = eff_4090_flops / (flops_per_image * steps)
+        vs_baseline = sps / baseline_sps
+    else:
+        baseline_sps = float("nan")
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "samples/sec/chip (IADB-BN res64, 250 steps, bs=500)",
+        "value": round(sps, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+        "extra": {
+            "sample_batch_seconds": round(sample_dt, 3),
+            "per_unet_step_ms": round(sample_dt / steps * 1e3, 3),
+            "unet_fwd_gflops_per_image": round(flops_per_image / 1e9, 2),
+            "baseline_rtx4090_est_sps": round(baseline_sps, 3) if np.isfinite(baseline_sps) else None,
+            "bluenoise_mpix_per_s": round(mpix_s, 1),
+            "bluenoise_batch_ms": round(noise_dt * 1e3, 3),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Host-side image data pipeline (replaces torchvision ImageFolder + DataLoader).
+
+The reference feeds training with ``torchvision.datasets.ImageFolder`` +
+multi-worker ``DataLoader`` (iadb_bn.py:442-472): Resize(shorter side) ->
+CenterCrop -> RandomHorizontalFlip(0.5) -> ToTensor. This module reproduces
+those transform semantics with PIL/numpy and replaces worker processes with
+a background prefetch thread pool — the device never waits on image decode
+for the small per-step batches involved (res <= 256).
+
+Output batches are float32 NCHW in [0, 1]; the trainer applies the
+``*2 - 1`` normalization on device (reference iadb_bn.py:861).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".webp")
+
+
+def _list_images(root):
+    files = []
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if n.lower().endswith(_EXTS):
+                files.append(os.path.join(dirpath, n))
+    files.sort()
+    return files
+
+
+def _load_and_transform(path, res, hflip, antialias=True):
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    # torchvision Resize(res): shorter side -> res, keep aspect (bilinear)
+    if w <= h:
+        nw, nh = res, max(res, int(round(h * res / w)))
+    else:
+        nw, nh = max(res, int(round(w * res / h))), res
+    img = img.resize((nw, nh), Image.BILINEAR)
+    # center crop
+    left = (nw - res) // 2
+    top = (nh - res) // 2
+    img = img.crop((left, top, left + res, top + res))
+    a = np.asarray(img, dtype=np.float32) / 255.0  # HWC
+    if hflip:
+        a = a[:, ::-1, :]
+    return np.transpose(a, (2, 0, 1))  # CHW
+
+
+class ImageFolderDataset:
+    def __init__(self, root, res, random_flip=True, seed=0):
+        self.files = _list_images(root)
+        if not self.files:
+            raise FileNotFoundError(f"no images under {root}")
+        self.res = res
+        self.random_flip = random_flip
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, idx, hflip=False):
+        return _load_and_transform(self.files[idx], self.res, hflip)
+
+
+class BatchLoader:
+    """Shuffled, drop-last batch iterator with threaded decode + prefetch.
+
+    ``shard_index / shard_count``: per-host sharding for multi-host data
+    parallelism (each host loads its slice of the global batch).
+    """
+
+    def __init__(self, dataset: ImageFolderDataset, batch_size, shuffle=True,
+                 num_threads=8, prefetch=2, seed=0, shard_index=0, shard_count=1,
+                 drop_last=True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.ds) // self.shard_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch=None):
+        """Iterate one epoch of batches (prefetched in background)."""
+        if epoch is None:
+            epoch = self._epoch
+            self._epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(idx)
+        idx = idx[self.shard_index:: self.shard_count]
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        flips = rng.random(len(self.ds)) < 0.5 if self.ds.random_flip else np.zeros(len(self.ds), bool)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+
+        def produce():
+            try:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    imgs = list(pool.map(lambda i: self.ds.get(i, bool(flips[i])), sel))
+                    q.put(np.stack(imgs))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            pool.shutdown(wait=False)
+
+
+def make_synthetic_folder(root, n=8, res=64, seed=0):
+    """Write a tiny synthetic ImageFolder tree (for tests/demos)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    cls = os.path.join(root, "class0")
+    os.makedirs(cls, exist_ok=True)
+    for i in range(n):
+        arr = (rng.uniform(0, 255, (res, res, 3))).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(cls, f"img_{i:04d}.png"))
+    return root

@@ -1,0 +1,75 @@
+import numpy as np
+
+from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset, make_synthetic_folder
+from bndm_tpu.data.latent_cache import LatentCacheDataset, LatentCacheWriter
+
+
+def test_imagefolder_batches(tmp_path):
+    root = make_synthetic_folder(str(tmp_path / "data"), n=10, res=32)
+    ds = ImageFolderDataset(root, res=16)
+    assert len(ds) == 10
+    loader = BatchLoader(ds, batch_size=4, seed=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # drop_last
+    for b in batches:
+        assert b.shape == (4, 3, 16, 16)
+        assert b.dtype == np.float32
+        assert 0.0 <= b.min() and b.max() <= 1.0
+
+
+def test_resize_center_crop_semantics(tmp_path):
+    """torchvision-parity geometry: shorter side -> res (aspect kept), then
+    center crop. Oracle computed with PIL directly."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (48, 80, 3), dtype=np.uint8)  # h=48, w=80
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(p)
+
+    img = Image.open(p).convert("RGB")
+    # shorter side h=48 -> 32; w -> round(80*32/48) = 53
+    resized = img.resize((53, 32), Image.BILINEAR)
+    left, top = (53 - 32) // 2, 0
+    want = np.asarray(resized.crop((left, top, left + 32, top + 32)), np.float32) / 255.0
+    want = np.transpose(want, (2, 0, 1))
+
+    ds = ImageFolderDataset(str(tmp_path), res=32, random_flip=False)
+    got = ds.get(0, hflip=False)
+    assert got.shape == (3, 32, 32)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_loader_epoch_determinism(tmp_path):
+    root = make_synthetic_folder(str(tmp_path / "d"), n=8, res=16)
+    ds = ImageFolderDataset(root, res=16)
+    l1 = list(BatchLoader(ds, 4, seed=3).epoch(0))
+    l2 = list(BatchLoader(ds, 4, seed=3).epoch(0))
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_sharding(tmp_path):
+    root = make_synthetic_folder(str(tmp_path / "d"), n=16, res=16)
+    ds = ImageFolderDataset(root, res=16, random_flip=False)
+    full = list(BatchLoader(ds, 2, seed=0, shuffle=False).epoch(0))
+    s0 = list(BatchLoader(ds, 2, seed=0, shuffle=False, shard_index=0, shard_count=2).epoch(0))
+    s1 = list(BatchLoader(ds, 2, seed=0, shuffle=False, shard_index=1, shard_count=2).epoch(0))
+    assert len(s0) == len(s1) == len(full) // 2
+    # shard 0 gets even-indexed files, shard 1 odd-indexed
+    np.testing.assert_array_equal(s0[0][0], ds.get(0))
+    np.testing.assert_array_equal(s1[0][0], ds.get(1))
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    w = LatentCacheWriter(str(tmp_path / "cache"), (4, 8, 8))
+    lats = [rng.standard_normal((4, 8, 8)).astype(np.float16) for _ in range(6)]
+    for l in lats:
+        w.add(l)
+    assert w.finalize() == 6
+    ds = LatentCacheDataset(str(tmp_path / "cache"))
+    assert len(ds) == 6
+    np.testing.assert_allclose(ds[2], lats[2].astype(np.float32))
+    batches = list(ds.batches(2, shuffle=False, seed=0))
+    assert len(batches) == 3 and batches[0].shape == (2, 4, 8, 8)
