@@ -146,16 +146,17 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, deterministic=True):
+    def __call__(self, x, temb=None, deterministic=True):
         act = ACT[self.act_fn]
         in_channels = x.shape[-1]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = act(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
-            act(temb).astype(self.dtype)
-        )
-        h = h + t[:, None, None, :]
+        if temb is not None:  # VAE resnets have no time conditioning
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                act(temb).astype(self.dtype)
+            )
+            h = h + t[:, None, None, :]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = act(h).astype(self.dtype)
         if self.dropout > 0:
