@@ -16,9 +16,32 @@ baseline_samples_per_sec = 40e12 / (flops_per_image * 250 steps).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _setup_compile_cache():
+    """Persistent XLA compilation cache: the first bench run on this machine
+    pays the (remote) compile; later runs start in seconds."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _fetch(x):
+    """Force real device completion: host-fetch a scalar (block_until_ready
+    alone is unreliable through the axon relay)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
 
 
 def _bench_sampling(batch=500, steps=250, res=64):
@@ -51,11 +74,11 @@ def _bench_sampling(batch=500, steps=250, res=64):
     except Exception:
         flops_per_image = 0.0
 
-    out = jax.block_until_ready(run(params, x0))  # compile + warmup
+    _fetch(run(params, x0))  # compile + warmup
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
     t0 = time.perf_counter()
-    n_iters = 1
-    out = jax.block_until_ready(run(params, x0))
-    dt = (time.perf_counter() - t0) / n_iters
+    _fetch(run(params, x1))  # fresh input defeats any relay-side result caching
+    dt = time.perf_counter() - t0
     sps = batch / dt
     return sps, dt, flops_per_image
 
@@ -78,10 +101,10 @@ def _bench_noise(batch=500, res=64, iters=20):
 
     key = jax.random.PRNGKey(0)
     gamma = jnp.full((batch,), 0.5)
-    jax.block_until_ready(gen(key, gamma))
+    _fetch(gen(key, gamma))
     t0 = time.perf_counter()
     for i in range(iters):
-        jax.block_until_ready(gen(jax.random.fold_in(key, i), gamma))
+        _fetch(gen(jax.random.fold_in(key, i + 1), gamma))
     dt = (time.perf_counter() - t0) / iters
     mpix_s = batch * res * res / dt / 1e6
     return mpix_s, dt
@@ -90,6 +113,7 @@ def _bench_noise(batch=500, res=64, iters=20):
 def main():
     import jax
 
+    _setup_compile_cache()
     sps, sample_dt, flops_per_image = _bench_sampling()
     mpix_s, noise_dt = _bench_noise()
 

@@ -1,0 +1,90 @@
+"""Shared CLI plumbing: run-folder naming, L-matrix loading, checkpoint IO.
+
+The reference encodes run identity in the output directory name computed
+from flag values (iadb_bn.py:481-499) and *finds* checkpoints at test time
+by recomputing that name — we reproduce the convention exactly so runs are
+interchangeable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from bndm_tpu.ops.cov import load_cov_L
+
+
+def output_folder_name(opt):
+    """Reference naming (iadb_bn.py:481-499)."""
+    outer = (
+        f"results_gaussianBN_{opt.conditional_type}" if opt.is_conditional else "results_gaussianBN"
+    )
+    if opt.scheduler_gamma == "linear" or opt.optimize_scheduler_param:
+        name = f"{opt.dataset}_{opt.noise_type}_{opt.scheduler_gamma}_outc{opt.out_channel}_seed{opt.seed}"
+    else:
+        remap = "_remap" if opt.remap else ""
+        name = (
+            f"{opt.dataset}_{opt.noise_type}_{opt.scheduler_gamma}_{opt.scheduler_param}"
+            f"_{opt.scheduler_param_s}_{opt.scheduler_param_e}_outc{opt.out_channel}{remap}_seed{opt.seed}"
+        )
+    return os.path.join(outer, name)
+
+
+def noise_folder_name(noise_type):
+    """(iadb_bn.py:689-703)"""
+    return {
+        "gaussianBN": "gwn2gbn",
+        "gaussian": "gwn",
+        "gaussianRN": "gwn2grn",
+        "GBN": "gbn",
+    }[noise_type]
+
+
+def load_L_for(noise_type, bluenoise_dir="bluenoise"):
+    kind = "red" if noise_type == "gaussianRN" else "blue"
+    return load_cov_L(res=64, dimension=3, kind=kind,
+                      search_dirs=(".", bluenoise_dir), cache_dir=bluenoise_dir)
+
+
+def save_params(path, params, extra=None):
+    """Flat .npz checkpoint of a flax params tree (+ json sidecar)."""
+    flat = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, prefix + (k,))
+            else:
+                flat["/".join(prefix + (k,))] = np.asarray(v)
+
+    walk(params.get("params", params), ("params",))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+    if extra is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(extra, f)
+
+
+def load_params(path):
+    data = np.load(path)
+    tree = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jax.numpy.asarray(data[key])
+    return tree
+
+
+def save_image_grid(arr_nchw, path):
+    from PIL import Image
+
+    a = np.asarray(arr_nchw)
+    a = np.clip((a + 1.0) / 2.0, 0.0, 1.0)
+    a = (np.transpose(a, (0, 2, 3, 1)) * 255).astype(np.uint8)
+    for i, img in enumerate(a):
+        Image.fromarray(img).save(path.format(i))

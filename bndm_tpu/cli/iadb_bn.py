@@ -1,0 +1,324 @@
+"""Pixel-space IADB/BNDM pipeline CLI — flag-compatible with the reference.
+
+TPU-native counterpart of reference ``iadb_bn.py``: same argparse surface
+(:29-69), same output-folder naming, same train/test modes (unconditional +
+super-res conditional), but the work runs as jitted JAX: one compiled train
+step, one compiled 250-step sampling scan, data-parallel over all local
+devices.
+
+Usage (reference scripts work verbatim with `python -m bndm_tpu.cli.iadb_bn`):
+  train: --dataset=cat_res64 --res=64 --batch_size=64 --epochs=1000 \
+         --train_or_test=train --lr=0.0001 --grad_clip=1.0 \
+         --noise_type=gaussianBN --scheduler_gamma=sigmoid \
+         --scheduler_param=1000 --out_channel=6
+  test:  --dataset=cat_res64 --res=64 --batch_size=500 --train_or_test=test \
+         --nb_steps=250 --test_samples=30000 --noise_type=gaussianBN ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # mirror of reference iadb_bn.py:29-69 (superset-free: every flag kept)
+    p.add_argument("--dataset", type=str, default="celeba_small")
+    p.add_argument("--noise_type", type=str, default="gaussian")
+    p.add_argument("--optimizer_type", type=str, default="adamw")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--res", type=int, default=64)
+    p.add_argument("--train_or_test", type=str, default="train")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nb_steps", type=int, default=1000)
+    p.add_argument("--scheduler_alpha", type=str, default="linear")
+    p.add_argument("--scheduler_gamma", type=str, default="linear")
+    p.add_argument("--scheduler_param", type=float, default=0.02)
+    p.add_argument("--scheduler_param_s", type=float, default=0)
+    p.add_argument("--scheduler_param_e", type=float, default=3)
+    p.add_argument("--blue_noise_blur", type=float, default=None)
+    p.add_argument("--activation", type=str, default="silu")
+    p.add_argument("--early_stopping_step", type=int, default=50)
+    p.add_argument("--split_step", type=int, default=900)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--mode_index", type=int, default=1)
+    p.add_argument("--reg_weight", type=float, default=1)
+    p.add_argument("--alpha_min", type=float, default=0.0)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--deterministic", type=int, default=1)
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--optimize_scheduler_param", action="store_true")
+    p.add_argument("--remap", action="store_true")
+    p.add_argument("--is_conditional", action="store_true")
+    p.add_argument("--conditional_type", type=str, default="superres")
+    p.add_argument("--fine_tune_mode_index", type=int, default=0)
+    p.add_argument("--skip", type=int, default=1)
+    p.add_argument("--test_samples", type=int, default=10)
+    p.add_argument("--out_channel", type=int, default=6)
+    # bndm-tpu extensions
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--bluenoise_dir", type=str, default="bluenoise")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--max_steps", type=int, default=None, help="cap train steps (smoke runs)")
+    p.add_argument("--tiny_model", action="store_true",
+                   help="swap in a tiny UNet (CI / smoke tests only)")
+    return p.parse_args(argv)
+
+
+def build(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_L_for, output_folder_name
+    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
+    from bndm_tpu.train.pixel import TrainConfig
+
+    if opt.noise_type not in ("gaussianBN", "gaussianRN"):
+        opt.out_channel = 3  # reference iadb_bn.py:476-479
+
+    in_ch = 6 if opt.is_conditional else 3  # superres concat (iadb_bn.py:556-558)
+    if opt.tiny_model:
+        from bndm_tpu.models.unet2d import UNet2DConfig
+
+        mcfg = UNet2DConfig(
+            in_channels=in_ch, out_channels=opt.out_channel,
+            block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            attention_head_dim=4, norm_num_groups=4,
+            act_fn=opt.activation, dtype=opt.compute_dtype,
+        )
+    else:
+        mcfg = unet_config_for_res(opt.res, in_channels=in_ch, out_channels=opt.out_channel,
+                                   act_fn=opt.activation, dtype=opt.compute_dtype)
+    model = UNet2D(mcfg)
+    tcfg = TrainConfig(
+        nb_steps=opt.nb_steps,
+        noise_type=opt.noise_type,
+        scheduler_alpha=opt.scheduler_alpha,
+        alpha_param=opt.scheduler_param,
+        scheduler_gamma=opt.scheduler_gamma,
+        gamma_defaults=(opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e),
+        optimize_scheduler_param=opt.optimize_scheduler_param,
+        out_channel=opt.out_channel,
+        lr=opt.lr,
+        optimizer_type=opt.optimizer_type,
+        grad_clip=opt.grad_clip,
+        remap=opt.remap,
+        conditional=opt.is_conditional,
+    )
+    L = load_L_for(opt.noise_type, opt.bluenoise_dir)
+    out_dir = output_folder_name(opt)
+    return model, tcfg, L, out_dir
+
+
+def run_train(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params, save_params
+    from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.train.pixel import PixelTrainer
+
+    model, tcfg, L, out_dir = build(opt)
+    os.makedirs(out_dir, exist_ok=True)
+    print("output_folder:", out_dir)
+
+    suffix = "_train" if opt.is_conditional else ""
+    ds = ImageFolderDataset(os.path.join(opt.data_root, opt.dataset + suffix), opt.res,
+                            random_flip=True, seed=opt.seed)
+    loader = BatchLoader(ds, opt.batch_size, seed=opt.seed)
+
+    key = jax.random.PRNGKey(opt.seed)
+    trainer = PixelTrainer(model, tcfg, L, key)
+    if opt.resume_training:
+        trainer.state = trainer.state._replace(
+            params=load_params(os.path.join(out_dir, "model.npz"))
+        )
+
+    mesh = auto_mesh(opt.batch_size)
+    trainer.state = replicate(mesh, trainer.state)
+
+    losses = []
+    step = 0
+    t0 = time.time()
+    for epoch in range(opt.epochs):
+        for batch in loader.epoch(epoch):
+            batch = shard_batch(mesh, jnp.asarray(batch))
+            m = trainer.step(batch, jax.random.fold_in(key, step))
+            losses.append(float(m["loss"]))
+            step += 1
+            if opt.max_steps and step >= opt.max_steps:
+                break
+        print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.2f} "
+              f"sched_params tau={float(m['sched_tau']):.4f} s={float(m['sched_s']):.4f} "
+              f"e={float(m['sched_e']):.4f} ({step} steps, {time.time()-t0:.0f}s)")
+        np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
+        np.savetxt(os.path.join(out_dir, "scheduler_params.txt"),
+                   np.asarray(trainer.state.sched_params))
+        save_params(os.path.join(out_dir, "model.npz"), trainer.state.params)
+        if opt.max_steps and step >= opt.max_steps:
+            break
+    return out_dir
+
+
+def run_test(opt):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params, noise_folder_name, save_image_grid
+    from bndm_tpu.ops.noise import get_noise
+    from bndm_tpu.ops.schedules import gamma_schedule
+    from bndm_tpu.samplers.iadb import sample_iadb
+    from bndm_tpu.utils.image import superres_condition
+
+    model, tcfg, L, out_dir = build(opt)
+    fname = f"{opt.dataset}_iadb_{noise_folder_name(opt.noise_type)}_steps{opt.nb_steps}"
+    if opt.is_conditional:
+        fname = f"{opt.dataset}_iadb_{noise_folder_name(opt.noise_type)}_{opt.conditional_type}_steps{opt.nb_steps}"
+    for sub in ("images", "seqs", "noise"):
+        os.makedirs(os.path.join(out_dir, fname, sub), exist_ok=True)
+
+    params = load_params(os.path.join(out_dir, "model.npz"))
+    if opt.optimize_scheduler_param:
+        sp = np.loadtxt(os.path.join(out_dir, "scheduler_params.txt")).astype(np.float32)
+    else:
+        sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
+                      np.float32)
+
+    L = jnp.asarray(L)
+    total = opt.test_samples
+    nb_batches = -(-total // opt.batch_size)
+    key = jax.random.PRNGKey(opt.seed)
+    times = []
+    cnt = 0
+    for i in range(nb_batches):
+        bs = min(opt.batch_size, total - i * opt.batch_size)
+        bkey = jax.random.fold_in(key, i)
+        # saved-noise replicability: reuse reference .npz when present
+        noise_path = os.path.join(
+            "results_gaussianBN",
+            f"{opt.dataset}_gaussian_linear_outc3_seed0",
+            f"{opt.dataset}_iadb_gwn_steps250", "noise",
+            f"noise_batch{opt.batch_size}_idx{i:05d}.npz",
+        )
+        if os.path.exists(noise_path):
+            x0 = jnp.asarray(np.load(noise_path)["noise"][:bs], jnp.float32)
+        else:
+            x0 = jax.random.normal(bkey, (bs, 3, opt.res, opt.res), jnp.float32)
+
+        t0 = time.time()
+        sample, frames = sample_iadb(
+            model.apply, params, x0,
+            nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
+            alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
+            gamma_params=jnp.asarray(sp), two_head=tcfg.two_head, collect_frames=True,
+        )
+        sample = jax.block_until_ready(sample)
+        times.append(time.time() - t0)
+
+        save_image_grid(np.asarray(sample),
+                        os.path.join(out_dir, fname, "images", f"{i:05d}_{{0}}.png"))
+        for j, fr in enumerate(np.asarray(frames)):
+            save_image_grid(fr, os.path.join(
+                out_dir, fname, "seqs",
+                f"{noise_folder_name(opt.noise_type)}_img{cnt:05d}_step{j}_{{0}}.png"))
+        cnt += bs
+        print(f"batch {i}: {bs} samples in {times[-1]:.2f}s "
+              f"({bs/times[-1]:.1f} samples/s)")
+    if times:
+        print("mean batch sampling time (excl. first/compile):",
+              np.mean(times[1:]) if len(times) > 1 else times[0])
+    return out_dir
+
+
+def run_superres_test(opt):
+    """Conditional super-res eval (reference iadb_bn.py:566-682): for each
+    test image, condition on the bilinear down-x4-up image, initialize x0
+    with the blue-noise mix (:630-633 — unlike the unconditional path, the
+    conditional one DOES blue-initialize), sample, report SSIM/PSNR/L2/L1."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params, noise_folder_name, save_image_grid
+    from bndm_tpu.data.imagefolder import ImageFolderDataset
+    from bndm_tpu.ops.noise import get_noise
+    from bndm_tpu.ops.schedules import gamma_schedule
+    from bndm_tpu.samplers.iadb import sample_iadb
+    from bndm_tpu.utils.image import superres_condition
+    from bndm_tpu.utils.metrics import psnr, ssim
+
+    model, tcfg, L, out_dir = build(opt)
+    L = jnp.asarray(L)
+    fname = f"{opt.dataset}_iadb_{noise_folder_name(opt.noise_type)}_{opt.conditional_type}_steps{opt.nb_steps}"
+    for sub in ("images", "seqs", "lowres", "highres"):
+        os.makedirs(os.path.join(out_dir, fname, sub), exist_ok=True)
+
+    params = load_params(os.path.join(out_dir, "model.npz"))
+    if opt.optimize_scheduler_param:
+        sp = np.loadtxt(os.path.join(out_dir, "scheduler_params.txt")).astype(np.float32)
+    else:
+        sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
+                      np.float32)
+
+    ds = ImageFolderDataset(os.path.join(opt.data_root, opt.dataset + "_test"), opt.res,
+                            random_flip=False)
+    # paper indices (iadb_bn.py:618-621); fall back to all for small sets
+    wanted = [73, 103, 277, 388]
+    indices = [i for i in wanted if i < len(ds)] or list(range(min(len(ds), 4)))
+
+    key = jax.random.PRNGKey(opt.seed)
+    agg = {"ssim": 0.0, "psnr": 0.0, "l2": 0.0, "l1": 0.0}
+    for n_done, i in enumerate(indices):
+        x1 = jnp.asarray(ds.get(i))[None] * 2.0 - 1.0
+        x_c = superres_condition(x1, downscale=4)
+        x0 = jax.random.normal(jax.random.fold_in(key, i), x1.shape, jnp.float32)
+        t = jnp.full((1,), float(opt.nb_steps))
+        g = gamma_schedule(t, opt.nb_steps, opt.scheduler_gamma, sp)
+        x0 = get_noise(x0, L, g, noise_type=opt.noise_type, train=False, inplace=True).noise
+
+        sample, frames = sample_iadb(
+            model.apply, params, x0,
+            nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
+            alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
+            gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+            x_c=x_c, collect_frames=True,
+        )
+        s01 = jnp.clip((sample + 1) / 2, 0, 1)
+        x01 = (x1 + 1) / 2
+        agg["ssim"] += float(ssim(s01, x01)[0])
+        agg["psnr"] += float(psnr(s01, x01)[0])
+        agg["l2"] += float(jnp.sum((sample - x1) ** 2))
+        agg["l1"] += float(jnp.sum(jnp.abs(sample - x1)))
+        save_image_grid(np.asarray(sample), os.path.join(
+            out_dir, fname, "images", f"image_{noise_folder_name(opt.noise_type)}_{i:05d}_{{0}}.png"))
+        save_image_grid(np.asarray(x_c), os.path.join(
+            out_dir, fname, "lowres", f"lowres_{i:05d}_{{0}}.png"))
+        save_image_grid(np.asarray(x1), os.path.join(
+            out_dir, fname, "highres", f"highres_{i:05d}_{{0}}.png"))
+    n = max(len(indices), 1)
+    print("conditional metrics: ssim: {:.4f}, psnr: {:.4f}, l2: {:.4f}, l1: {:.4f}".format(
+        agg["ssim"] / n, agg["psnr"] / n, agg["l2"] / n, agg["l1"] / n))
+    return out_dir
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    np.random.seed(opt.seed)
+    if opt.train_or_test == "train":
+        run_train(opt)
+    elif opt.is_conditional:
+        run_superres_test(opt)
+    else:
+        run_test(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,14 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def auto_mesh(batch_size, axis_name="data"):
+    """Mesh over the largest device count that divides the batch size."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, axis_name)
+
+
 def data_parallel_sharding(mesh, axis_name="data"):
     """(batch_sharding, replicated_sharding) for the mesh."""
     return NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())

@@ -1,0 +1,60 @@
+"""End-to-end smoke of the flag-compatible iadb_bn CLI: train -> test ->
+superres train/test, all with a tiny model on synthetic data (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bndm_tpu.data.imagefolder import make_synthetic_folder
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    make_synthetic_folder(str(tmp_path / "data" / "tinycat"), n=8, res=64)
+    make_synthetic_folder(str(tmp_path / "data" / "tinycat_train"), n=8, res=64)
+    make_synthetic_folder(str(tmp_path / "data" / "tinycat_test"), n=4, res=64)
+    # pre-seed a cheap generated L so the CLI doesn't do a 4096-cholesky
+    rng = np.random.default_rng(0)
+    n = 4096
+    L = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.01)
+    np.fill_diagonal(L, 1.0)
+    os.makedirs("bluenoise", exist_ok=True)
+    np.savez_compressed("bluenoise/cov_gaussianBN_L_res64_d3.npz", x=L)
+    return tmp_path
+
+
+COMMON = [
+    "--dataset=tinycat", "--res=64", "--batch_size=4", "--tiny_model",
+    "--noise_type=gaussianBN", "--scheduler_gamma=sigmoid", "--scheduler_param=0.2",
+    "--out_channel=6", "--compute_dtype=float32", "--nb_steps=20",
+]
+
+
+def test_train_then_test(workdir):
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2", "--lr=1e-4"])
+    out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
+    assert (out / "model.npz").exists()
+    assert (out / "losses.txt").exists()
+
+    main(COMMON + ["--train_or_test=test", "--test_samples=4"])
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) == 4
+    seqdir = out / "tinycat_iadb_gwn2gbn_steps20" / "seqs"
+    assert len(list(seqdir.glob("*.png"))) > 0
+
+
+def test_superres_train_then_test(workdir):
+    from bndm_tpu.cli.iadb_bn import main
+
+    args = COMMON + ["--is_conditional", "--conditional_type=superres"]
+    main(args + ["--train_or_test=train", "--epochs=1", "--max_steps=2"])
+    out = (workdir / "results_gaussianBN_superres"
+           / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
+    assert (out / "model.npz").exists()
+    main(args + ["--train_or_test=test", "--test_samples=2"])
+    imgdir = out / "tinycat_iadb_gwn2gbn_superres_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) > 0
