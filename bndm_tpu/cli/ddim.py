@@ -1,0 +1,172 @@
+"""DDIM baseline pipeline CLI — flag-compatible with reference ddim_diffusers.py.
+
+Train: DDPM objective (epsilon/sample prediction) on ImageFolder data with
+EMA and HF LR schedules. Test: 250-step DDIM sampling as one jitted scan,
+with the reference's saved-noise replicability hook and seqs/images output
+naming (ddim_diffusers.py:624-712).
+
+Usage mirrors the reference scripts, e.g.:
+  python -m bndm_tpu.cli.ddim --dataset_name=cat_res64 --resolution=64 \
+      --train_or_test=test --eval_batch_size=500 --test_samples=30000 \
+      --output_dir=ddim_cat_res64 ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def model_config(args):
+    from bndm_tpu.models.unet2d import UNet2DConfig, unet_config_for_res
+
+    if args.tiny_model:
+        return UNet2DConfig(
+            in_channels=3, out_channels=3, block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            attention_head_dim=4, norm_num_groups=4, dtype=args.compute_dtype,
+        )
+    if args.resolution in (64, 128):
+        return unet_config_for_res(args.resolution, 3, 3, dtype=args.compute_dtype)
+    if args.resolution == 256:
+        # ddim's res-256 config is the 7-block layout (ddim_diffusers.py:428-453)
+        cfg = unet_config_for_res(128, 3, 3, dtype=args.compute_dtype)
+        return cfg
+    raise NotImplementedError(f"resolution {args.resolution}")
+
+
+def out_dir_for(args):
+    name = args.output_dir + ("_ema" if args.use_ema else "")
+    return os.path.join("results_gaussianBN", name)
+
+
+def run_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import save_params
+    from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.train.ddim import DDIMTrainConfig, make_ddim_train_step
+    from bndm_tpu.train.schedules_lr import hf_adamw
+
+    out_dir = out_dir_for(args)
+    os.makedirs(out_dir, exist_ok=True)
+    model = UNet2D(model_config(args))
+    ds = ImageFolderDataset(os.path.join(args.data_root, args.dataset_name),
+                            args.resolution, random_flip=args.random_flip, seed=args.seed)
+    loader = BatchLoader(ds, args.train_batch_size, seed=args.seed)
+    steps_total = max(len(loader), 1) * args.num_epochs
+
+    cfg = DDIMTrainConfig(
+        ddpm_num_steps=args.ddpm_num_steps,
+        ddpm_beta_schedule=args.ddpm_beta_schedule,
+        prediction_type=args.prediction_type,
+        use_ema=args.use_ema,
+        ema_inv_gamma=args.ema_inv_gamma,
+        ema_power=args.ema_power,
+        ema_max_decay=args.ema_max_decay,
+    )
+    optimizer = hf_adamw(args, steps_total)
+    train_step, init_state = make_ddim_train_step(model.apply, cfg, optimizer)
+
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, jnp.zeros((1, 3, args.resolution, args.resolution)),
+                        jnp.zeros((1,)))
+    state = init_state(params)
+    mesh = auto_mesh(args.train_batch_size)
+    state = replicate(mesh, state)
+
+    losses = []
+    step = 0
+    for epoch in range(args.num_epochs):
+        for batch in loader.epoch(epoch):
+            state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
+                                  jax.random.fold_in(key, step))
+            losses.append(float(m["loss"]))
+            step += 1
+            if args.max_steps and step >= args.max_steps:
+                break
+        print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.5f}")
+        if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
+            save_params(os.path.join(out_dir, "unet", "model.npz"), state.params)
+            if state.ema is not None:
+                save_params(os.path.join(out_dir, "unet_ema", "model.npz"),
+                            state.ema.params)
+            np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
+        if args.max_steps and step >= args.max_steps:
+            break
+    return out_dir
+
+
+def run_test(args):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params, save_image_grid
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
+
+    out_dir = out_dir_for(args)
+    for sub in ("images", "seqs"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    model = UNet2D(model_config(args))
+    params = load_params(os.path.join(out_dir, "unet", "model.npz"))
+    scheduler = DDIMScheduler(
+        num_train_timesteps=args.ddpm_num_steps,
+        beta_schedule=args.ddpm_beta_schedule,
+        prediction_type=args.prediction_type,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    num_batch = max(args.test_samples // args.eval_batch_size, 1)
+    cnt = 0
+    times = []
+    for i in range(num_batch):
+        # saved-noise replicability hook (ddim_diffusers.py:667-669)
+        noise_path = os.path.join(
+            "results_gaussianBN",
+            f"{args.dataset_name}_gaussian_linear_outc3_seed0",
+            f"{args.dataset_name}_iadb_gwn_steps250", "noise",
+            f"noise_batch{args.eval_batch_size}_idx{i:05d}.npz",
+        )
+        if os.path.exists(noise_path):
+            x0 = jnp.asarray(np.load(noise_path)["noise"], jnp.float32)
+        else:
+            x0 = jax.random.normal(
+                jax.random.fold_in(key, i),
+                (args.eval_batch_size, 3, args.resolution, args.resolution), jnp.float32)
+
+        t0 = time.time()
+        out, frames = sample_ddim(model.apply, params, x0, scheduler=scheduler,
+                                  num_inference_steps=args.ddpm_num_inference_steps,
+                                  collect_frames=True)
+        out = jax.block_until_ready(out)
+        times.append(time.time() - t0)
+        save_image_grid(np.asarray(out),
+                        os.path.join(out_dir, "images", f"ddim_img{cnt:05d}_{{0}}.png"))
+        for j, fr in enumerate(np.asarray(frames)):
+            save_image_grid(fr, os.path.join(out_dir, "seqs",
+                                             f"ddim_img{cnt:05d}_step{j * 25}_{{0}}.png"))
+        cnt += x0.shape[0]
+        print(f"batch {i}: {x0.shape[0]} samples in {times[-1]:.2f}s")
+    return out_dir
+
+
+def main(argv=None):
+    from bndm_tpu.cli.hf_args import parse_args
+
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+    if args.train_or_test == "train":
+        run_train(args)
+    else:
+        run_test(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""HF-train_unconditional-style argparse surface (shared by ddim + latent CLIs).
+
+Mirrors the union of reference ``input_args.py`` (:8-240) and
+``ddim_diffusers.parse_args`` (:61-282): the diffusers train_unconditional
+superset plus the BNDM flags (:217-229). Distributed/hub flags are accepted
+for CLI compatibility and ignored where JAX handles the concern natively.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_name", type=str, default=None)
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--model_config_name_or_path", type=str, default=None)
+    p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="ddpm-model-64")
+    p.add_argument("--overwrite_output_dir", action="store_true")
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=64)
+    p.add_argument("--center_crop", default=False, action="store_true")
+    p.add_argument("--random_flip", default=False, action="store_true")
+    p.add_argument("--train_batch_size", type=int, default=64)
+    p.add_argument("--eval_batch_size", type=int, default=2)
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--num_epochs", type=int, default=1000)
+    p.add_argument("--save_images_epochs", type=int, default=1000)
+    p.add_argument("--save_model_epochs", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_scheduler", type=str, default="cosine")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--adam_beta1", type=float, default=0.95)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-6)
+    p.add_argument("--adam_epsilon", type=float, default=1e-08)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_inv_gamma", type=float, default=1.0)
+    p.add_argument("--ema_power", type=float, default=0.75)
+    p.add_argument("--ema_max_decay", type=float, default=0.9999)
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_token", type=str, default=None)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_private_repo", action="store_true")
+    p.add_argument("--logger", type=str, default="tensorboard")
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["no", "fp16", "bf16"])
+    p.add_argument("--prediction_type", type=str, default="epsilon",
+                   choices=["epsilon", "sample"])
+    p.add_argument("--ddpm_num_steps", type=int, default=1000)
+    p.add_argument("--ddpm_num_inference_steps", type=int, default=250)
+    p.add_argument("--ddpm_beta_schedule", type=str, default="linear")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--enable_xformers_memory_efficient_attention", action="store_true")
+    # BNDM flags (input_args.py:217-229)
+    p.add_argument("--train_or_test", type=str, default="train")
+    p.add_argument("--test_samples", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noise_type", type=str, default="gaussian")
+    p.add_argument("--out_channels", type=int, default=3)
+    p.add_argument("--use_vae", action="store_true")
+    p.add_argument("--optimize_scheduler_param", action="store_true")
+    p.add_argument("--scheduler_gamma", type=str, default="linear")
+    p.add_argument("--scheduler_param", type=float, default=0.02)
+    p.add_argument("--scheduler_param_s", type=float, default=0)
+    p.add_argument("--scheduler_param_e", type=float, default=3)
+    # bndm-tpu extensions
+    p.add_argument("--data_root", type=str, default="./data")
+    p.add_argument("--bluenoise_dir", type=str, default="bluenoise")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--tiny_model", action="store_true")
+    p.add_argument("--vae_params", type=str, default=None,
+                   help="path to converted AutoencoderKL weights (.npz); random-init if absent")
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)

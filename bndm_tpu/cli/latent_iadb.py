@@ -1,0 +1,232 @@
+"""Latent IADB/BNDM pipeline CLI — flag-compatible with the reference.
+
+TPU-native counterpart of ``latent_iadb_bn_diffusers.py``: VAE-encode
+512^2/256^2 images once into the memmap latent cache (x2 via hflip —
+reference images_to_latents, latent_...:194-222), train the latent UNet with
+the linear alpha=gamma IADB objective, sample with the jitted scan and
+VAE-decode at t=0 (:524-534).
+
+Usage mirrors the reference accelerate scripts, e.g.:
+  python -m bndm_tpu.cli.latent_iadb --dataset_name=cat_res512 --resolution=512 \
+      --random_flip --output_dir=latent_iadb_cat_res512 --train_batch_size=256 \
+      --learning_rate=1e-4 --out_channels=4 --num_epochs=1000 --noise_type=gaussianBN
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def latent_unet_config(args, out_channels):
+    from bndm_tpu.models.unet2d import UNet2DConfig, unet_config_for_res
+
+    if args.tiny_model:
+        return UNet2DConfig(
+            in_channels=4, out_channels=out_channels, block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            attention_head_dim=4, norm_num_groups=4, dtype=args.compute_dtype,
+        )
+    # reference latent_...:337-359: config keyed on PIXEL resolution
+    if args.resolution in (64, 512):
+        return unet_config_for_res(64, 4, out_channels, dtype=args.compute_dtype)
+    if args.resolution == 128:
+        return unet_config_for_res(128, 4, out_channels, dtype=args.compute_dtype)
+    if args.resolution == 256:
+        return unet_config_for_res("latent32", 4, out_channels, dtype=args.compute_dtype)
+    raise NotImplementedError(f"resolution {args.resolution}")
+
+
+def out_dir_for(args):
+    name = args.output_dir + f"_{args.noise_type}" + ("_ema" if args.use_ema else "")
+    return os.path.join("results_gaussianBN", name)
+
+
+def get_vae(args):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params
+    from bndm_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    if args.tiny_model:
+        # still /8 like the SD VAE (4 blocks, 3 downsamples), but tiny
+        vcfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                         norm_num_groups=4, dtype=args.compute_dtype)
+    else:
+        vcfg = VAEConfig(dtype=args.compute_dtype)
+    vae = AutoencoderKL(vcfg)
+    if args.vae_params and os.path.exists(args.vae_params):
+        if args.vae_params.endswith((".safetensors", ".ckpt", ".pt", ".bin")):
+            from bndm_tpu.models.convert import load_reference_unet
+
+            params = load_reference_unet(args.vae_params)
+        else:
+            params = load_params(args.vae_params)
+    else:
+        print("WARNING: no --vae_params given; using random-init VAE "
+              "(fine for smoke tests, not for real latents)")
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)))
+    return vae, params
+
+
+def build_latent_cache(args, vae, vae_params):
+    """VAE-encode the ImageFolder once (x2 hflip) into the memmap cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.data.imagefolder import ImageFolderDataset
+    from bndm_tpu.data.latent_cache import LatentCacheWriter
+    from bndm_tpu.models.vae import AutoencoderKL
+
+    cache_path = os.path.join(args.data_root, f"{args.dataset_name}_latent_cache")
+    if os.path.exists(os.path.join(cache_path, "meta.json")):
+        return cache_path
+    ds = ImageFolderDataset(os.path.join(args.data_root, args.dataset_name),
+                            args.resolution, random_flip=False)
+    lat_res = args.resolution // 8
+    writer = LatentCacheWriter(cache_path, (4, lat_res, lat_res))
+    encode = jax.jit(lambda p, x, k: vae.apply(p, x, k, method=AutoencoderKL.encode))
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(len(ds)):
+        img = ds.get(i)[None] * 2.0 - 1.0
+        for f in range(2):  # original + hflip (latent_...:207-221)
+            x = jnp.asarray(img if f == 0 else img[..., ::-1])
+            z = encode(vae_params, x, jax.random.fold_in(key, i * 2 + f))
+            writer.add(np.asarray(z[0], np.float16))
+    n = writer.finalize()
+    print(f"latent cache built: {n} latents at {cache_path}")
+    return cache_path
+
+
+def run_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import save_params
+    from bndm_tpu.data.latent_cache import LatentCacheDataset
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.train.latent import LatentTrainConfig, make_latent_train_step
+    from bndm_tpu.train.schedules_lr import hf_adamw
+    from bndm_tpu.cli.common import load_L_for
+
+    out_dir = out_dir_for(args)
+    os.makedirs(out_dir, exist_ok=True)
+
+    out_channels = args.out_channels
+    if args.noise_type in ("gaussianBN", "gaussianRN"):
+        out_channels *= 2  # latent_...:282-283
+
+    vae, vae_params = get_vae(args)
+    cache = build_latent_cache(args, vae, vae_params)
+    ds = LatentCacheDataset(cache)
+    model = UNet2D(latent_unet_config(args, out_channels))
+    L = jnp.asarray(load_L_for(args.noise_type, args.bluenoise_dir))
+
+    nb = max(len(ds) // args.train_batch_size, 1)
+    cfg = LatentTrainConfig(
+        ddpm_num_steps=args.ddpm_num_steps, noise_type=args.noise_type,
+        out_channels=out_channels, use_ema=args.use_ema,
+        ema_inv_gamma=args.ema_inv_gamma, ema_power=args.ema_power,
+        ema_max_decay=args.ema_max_decay,
+    )
+    optimizer = hf_adamw(args, nb * args.num_epochs)
+    train_step, init_state = make_latent_train_step(model.apply, cfg, L, optimizer)
+
+    key = jax.random.PRNGKey(args.seed)
+    lat_res = args.resolution // 8
+    params = model.init(key, jnp.zeros((1, 4, lat_res, lat_res)), jnp.zeros((1,)))
+    state = init_state(params)
+    mesh = auto_mesh(args.train_batch_size)
+    state = replicate(mesh, state)
+
+    losses = []
+    step = 0
+    for epoch in range(args.num_epochs):
+        for batch in ds.batches(args.train_batch_size, seed=(args.seed, epoch)):
+            state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
+                                  jax.random.fold_in(key, step))
+            losses.append(float(m["loss"]))
+            step += 1
+            if args.max_steps and step >= args.max_steps:
+                break
+        print(f"epoch {epoch}: mean loss {np.mean(losses[-nb:]):.2f}")
+        if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
+            save_params(os.path.join(out_dir, "unet", "model.npz"), state.params)
+            if state.ema is not None:
+                save_params(os.path.join(out_dir, "unet_ema", "model.npz"), state.ema.params)
+            np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
+        if args.max_steps and step >= args.max_steps:
+            break
+    return out_dir
+
+
+def run_test(args):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params, save_image_grid
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.models.vae import AutoencoderKL
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    out_dir = out_dir_for(args)
+    for sub in ("images", "seqs"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    out_channels = args.out_channels
+    if args.noise_type in ("gaussianBN", "gaussianRN"):
+        out_channels *= 2
+    model = UNet2D(latent_unet_config(args, out_channels))
+    params = load_params(os.path.join(out_dir, "unet", "model.npz"))
+    vae, vae_params = get_vae(args)
+    two_head = args.noise_type in ("gaussianBN", "gaussianRN") and out_channels == 8
+
+    decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+    lat_res = args.resolution // 8
+    num_batch = max(args.test_samples // args.eval_batch_size, 1)
+    cnt = 0
+    save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",
+                 "gaussianRN": "iadb_gwn2grn"}[args.noise_type]
+    for i in range(num_batch):
+        noise = np.random.randn(args.eval_batch_size, 4, lat_res, lat_res).astype(np.float32)
+        # figure-9 noise-index selection (latent_...:505-513)
+        if args.test_samples >= 100:
+            if i == 0:
+                noise = noise[[2, 7, 31, 48]]
+            elif i == 1:
+                noise = noise[[6]]
+            else:
+                continue
+        x0 = jnp.asarray(noise)
+        t0 = time.time()
+        z, _ = sample_iadb(model.apply, params, x0,
+                           nb_steps=args.ddpm_num_inference_steps,
+                           two_head=two_head)
+        imgs = decode(vae_params, z)
+        imgs = jax.block_until_ready(imgs)
+        print(f"batch {i}: {x0.shape[0]} samples in {time.time()-t0:.2f}s")
+        save_image_grid(np.asarray(imgs), os.path.join(
+            out_dir, "images", f"{save_name}_{cnt:05d}_{{0}}.png"))
+        cnt += x0.shape[0]
+    print("Done.")
+    return out_dir
+
+
+def main(argv=None):
+    from bndm_tpu.cli.hf_args import parse_args
+
+    args = parse_args(argv)
+    np.random.seed(args.seed)
+    if args.train_or_test == "train":
+        run_train(args)
+    else:
+        run_test(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,7 @@ class DDIMScheduler:
         )
         self.num_inference_steps = None
         self.timesteps = None
+        self.timesteps_np = None
 
     def set_timesteps(self, num_inference_steps):
         self.num_inference_steps = num_inference_steps
@@ -80,6 +81,9 @@ class DDIMScheduler:
             ts -= 1
         else:
             raise NotImplementedError(self.timestep_spacing)
+        # numpy kept separately: under jax>=0.9, jnp constants created inside
+        # a jit trace are tracers, so static bookkeeping must stay numpy
+        self.timesteps_np = ts
         self.timesteps = jnp.asarray(ts)
         return self.timesteps
 
@@ -133,10 +137,11 @@ def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps, collect
     Frames mirror the reference test loop (ddim_diffusers.py:667-685): x[0:1]
     is logged after the update whenever t % 100 == 0, plus the initial noise.
     """
-    ts = scheduler.set_timesteps(num_inference_steps)
+    scheduler.set_timesteps(num_inference_steps)
+    ts_np = scheduler.timesteps_np
+    ts = jnp.asarray(ts_np)
 
     if collect_frames:
-        ts_np = np.asarray(ts)
         frame_ts = [int(t) for t in ts_np if t % 100 == 0]
         n_frames = 1 + len(frame_ts)
         slot_of = {t: i + 1 for i, t in enumerate(frame_ts)}

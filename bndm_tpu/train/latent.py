@@ -1,0 +1,94 @@
+"""Latent-space IADB/BNDM training (512^2 / 256^2 pixels as 64^2 / 32^2 latents).
+
+Rebuilds the latent_iadb_bn_diffusers.py train loop (:576-690) TPU-first:
+latents come from the memmap cache (VAE runs once, offline), the train step
+is one jit containing antithetic t, linear alpha = gamma = t/T
+(latent_...:602-604), the noise engine on (B, 4, 64|32, 64|32) latents, the
+IADB add_noise blend, the midpoint-split two-head loss (:618-633), AdamW +
+HF LR schedule + grad-clip 1.0, and optional EMA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bndm_tpu.ops.noise import get_noise
+from bndm_tpu.train.ema import EmaState, ema_init, ema_update
+from bndm_tpu.train.losses import antithetic_timesteps, bndm_loss, iadb_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentTrainConfig:
+    ddpm_num_steps: int = 1000
+    noise_type: str = "gaussianBN"
+    out_channels: int = 8  # already doubled for BN (latent_...:282-283)
+    latent_channels: int = 4
+    use_ema: bool = False
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 0.75
+    ema_max_decay: float = 0.9999
+
+    @property
+    def two_head(self):
+        return (
+            self.noise_type in ("gaussianBN", "gaussianRN")
+            and self.out_channels == 2 * self.latent_channels
+        )
+
+
+class LatentTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Optional[EmaState]
+    step: jax.Array
+
+
+def make_latent_train_step(apply_fn, cfg: LatentTrainConfig, L, optimizer):
+    correlated = cfg.noise_type in ("gaussianBN", "gaussianRN", "GBN")
+    T = cfg.ddpm_num_steps
+
+    def loss_fn(params, clean, t, noise_key):
+        alpha = t / T  # linear, hardcoded (latent_...:602-604)
+        gamma = t / T
+        r = get_noise(clean, L, gamma, noise_type=cfg.noise_type, train=True,
+                      inplace=False, key=noise_key)
+        a = alpha.reshape(-1, 1, 1, 1)
+        noisy = (1.0 - a) * clean + a * r.noise  # IADBScheduler.add_noise (:127-138)
+        d = apply_fn(params, noisy, alpha)
+        if correlated and cfg.noise_type != "GBN":
+            # latent loss: tar1 = clean - noise (:619), two heads split at midpoint
+            alpha_prev = (t - 1.0) / T
+            gamma_prev = (t - 1.0) / T
+            return bndm_loss(d, clean, r.noise, r.noise_bn, r.noise_wn,
+                             alpha, alpha_prev, gamma, gamma_prev, cfg.two_head)
+        return iadb_loss(d, clean, r.noise)
+
+    @jax.jit
+    def train_step(state: LatentTrainState, latents, key):
+        t_key, noise_key = jax.random.split(key)
+        t = antithetic_timesteps(t_key, latents.shape[0], T).astype(jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, latents, t, noise_key)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, cfg.ema_max_decay, cfg.ema_inv_gamma,
+                         cfg.ema_power) if state.ema is not None else None
+        return (
+            LatentTrainState(params, opt_state, ema, state.step + 1),
+            {"loss": loss},
+        )
+
+    def init_state(params):
+        return LatentTrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            ema=ema_init(params) if cfg.use_ema else None,
+            step=jnp.int32(0),
+        )
+
+    train_step.loss_fn = loss_fn
+    return train_step, init_state

@@ -1,0 +1,58 @@
+"""End-to-end smoke of the ddim and latent CLIs (tiny models, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bndm_tpu.data.imagefolder import make_synthetic_folder
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    make_synthetic_folder(str(tmp_path / "data" / "tinycat"), n=8, res=64)
+    rng = np.random.default_rng(0)
+    n = 4096
+    L = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.01)
+    np.fill_diagonal(L, 1.0)
+    os.makedirs("bluenoise", exist_ok=True)
+    np.savez_compressed("bluenoise/cov_gaussianBN_L_res64_d3.npz", x=L)
+    return tmp_path
+
+
+def test_ddim_train_then_test(workdir):
+    from bndm_tpu.cli.ddim import main
+
+    common = [
+        "--dataset_name=tinycat", "--resolution=64", "--tiny_model",
+        "--output_dir=ddim_tiny", "--compute_dtype=float32",
+        "--ddpm_num_inference_steps=10",
+    ]
+    main(common + ["--train_or_test=train", "--train_batch_size=4", "--num_epochs=1",
+                   "--max_steps=2", "--lr_warmup_steps=0"])
+    out = workdir / "results_gaussianBN" / "ddim_tiny"
+    assert (out / "unet" / "model.npz").exists()
+    main(common + ["--train_or_test=test", "--eval_batch_size=2", "--test_samples=2"])
+    assert len(list((out / "images").glob("*.png"))) == 2
+    assert len(list((out / "seqs").glob("*.png"))) > 0
+
+
+def test_latent_train_then_test(workdir):
+    from bndm_tpu.cli.latent_iadb import main
+
+    common = [
+        "--dataset_name=tinycat", "--resolution=256", "--tiny_model",
+        "--output_dir=latent_tiny", "--compute_dtype=float32",
+        "--noise_type=gaussianBN", "--out_channels=4",
+        "--ddpm_num_steps=100", "--ddpm_num_inference_steps=10",
+    ]
+    main(common + ["--train_or_test=train", "--train_batch_size=4", "--num_epochs=1",
+                   "--max_steps=2", "--lr_warmup_steps=0"])
+    out = workdir / "results_gaussianBN" / "latent_tiny_gaussianBN"
+    assert (out / "unet" / "model.npz").exists()
+    cache = workdir / "data" / "tinycat_latent_cache"
+    assert (cache / "meta.json").exists()
+
+    main(common + ["--train_or_test=test", "--eval_batch_size=2", "--test_samples=2"])
+    assert len(list((out / "images").glob("*.png"))) == 2
