@@ -138,22 +138,42 @@ def run_train(opt):
 
     key = jax.random.PRNGKey(opt.seed)
     trainer = PixelTrainer(model, tcfg, L, key)
+
+    from bndm_tpu.ckpt.manager import CheckpointManager
+    from bndm_tpu.utils.logging import MetricLogger, save_loss_curve, save_sched_param_curves
+
+    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+    start_step = 0
     if opt.resume_training:
-        trainer.state = trainer.state._replace(
-            params=load_params(os.path.join(out_dir, "model.npz"))
-        )
+        # full-state resume (params + both optimizers + sched params + step);
+        # falls back to the reference's weights-only model file
+        restored = mgr.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            start_step = int(np.asarray(restored.step))
+            print(f"resumed full state at step {start_step}")
+        elif os.path.exists(os.path.join(out_dir, "model.npz")):
+            trainer.state = trainer.state._replace(
+                params=load_params(os.path.join(out_dir, "model.npz"))
+            )
+            print("resumed weights only (reference-style)")
 
     mesh = auto_mesh(opt.batch_size)
     trainer.state = replicate(mesh, trainer.state)
+    logger = MetricLogger(os.path.join(out_dir, "logs"))
 
     losses = []
-    step = 0
+    sp_hist = [[], [], []]
+    step = start_step
     t0 = time.time()
     for epoch in range(opt.epochs):
         for batch in loader.epoch(epoch):
             batch = shard_batch(mesh, jnp.asarray(batch))
             m = trainer.step(batch, jax.random.fold_in(key, step))
             losses.append(float(m["loss"]))
+            for j, k in enumerate(("sched_tau", "sched_s", "sched_e")):
+                sp_hist[j].append(float(m[k]))
+            logger.log({"loss": losses[-1]}, step)
             step += 1
             if opt.max_steps and step >= opt.max_steps:
                 break
@@ -163,9 +183,15 @@ def run_train(opt):
         np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
         np.savetxt(os.path.join(out_dir, "scheduler_params.txt"),
                    np.asarray(trainer.state.sched_params))
+        save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
+        save_sched_param_curves(*sp_hist, os.path.join(out_dir, "scheduler_params.png"))
         save_params(os.path.join(out_dir, "model.npz"), trainer.state.params)
+        mgr.save(step, trainer.state)
         if opt.max_steps and step >= opt.max_steps:
             break
+    mgr.wait()
+    mgr.close()
+    logger.close()
     return out_dir
 
 

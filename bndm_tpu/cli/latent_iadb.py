@@ -137,21 +137,41 @@ def run_train(args):
     optimizer = hf_adamw(args, nb * args.num_epochs)
     train_step, init_state = make_latent_train_step(model.apply, cfg, L, optimizer)
 
+    from bndm_tpu.ckpt.manager import CheckpointManager
+    from bndm_tpu.utils.logging import MetricLogger, save_loss_curve
+
     key = jax.random.PRNGKey(args.seed)
     lat_res = args.resolution // 8
     params = model.init(key, jnp.zeros((1, 4, lat_res, lat_res)), jnp.zeros((1,)))
     state = init_state(params)
+    mgr = CheckpointManager(os.path.join(out_dir, "checkpoints"),
+                            max_to_keep=args.checkpoints_total_limit or 3)
+    step = 0
+    if args.resume_from_checkpoint:
+        want = None if args.resume_from_checkpoint == "latest" else int(
+            args.resume_from_checkpoint.split("-")[-1])
+        restored = mgr.restore(state, step=want)
+        if restored is not None:
+            state = restored
+            step = int(np.asarray(state.step))
+            print(f"Resuming from checkpoint step {step}")
+        else:
+            print(f"Checkpoint '{args.resume_from_checkpoint}' does not exist. "
+                  "Starting a new training run.")
     mesh = auto_mesh(args.train_batch_size)
     state = replicate(mesh, state)
+    logger = MetricLogger(os.path.join(out_dir, args.logging_dir))
 
     losses = []
-    step = 0
     for epoch in range(args.num_epochs):
         for batch in ds.batches(args.train_batch_size, seed=(args.seed, epoch)):
             state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
                                   jax.random.fold_in(key, step))
             losses.append(float(m["loss"]))
+            logger.log({"loss": losses[-1]}, step)
             step += 1
+            if step % args.checkpointing_steps == 0:
+                mgr.save(step, state)
             if args.max_steps and step >= args.max_steps:
                 break
         print(f"epoch {epoch}: mean loss {np.mean(losses[-nb:]):.2f}")
@@ -160,8 +180,13 @@ def run_train(args):
             if state.ema is not None:
                 save_params(os.path.join(out_dir, "unet_ema", "model.npz"), state.ema.params)
             np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
+            save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
         if args.max_steps and step >= args.max_steps:
             break
+    mgr.save(step, state)
+    mgr.wait()
+    mgr.close()
+    logger.close()
     return out_dir
 
 

@@ -46,11 +46,19 @@ def hf_lr_schedule(kind, base_lr, num_warmup_steps, num_training_steps):
 
 def hf_adamw(args, num_training_steps):
     """AdamW with the reference's betas/eps/weight-decay + LR schedule +
-    the fixed grad-clip 1.0 the accelerate loops apply (ddim :773, latent :643)."""
+    the fixed grad-clip 1.0 the accelerate loops apply (ddim :773, latent :643).
+
+    ``gradient_accumulation_steps > 1`` wraps the optimizer in
+    optax.MultiSteps — the TPU-native replacement for
+    ``accelerator.accumulate(model)`` (ddim_diffusers.py:754, flag :152-157).
+    ``num_training_steps`` is in micro-batches, matching the reference.
+    """
+    accum = max(1, args.gradient_accumulation_steps)
+    # MultiSteps' inner optimizer sees UPDATE counts, so scale to updates
     sched = hf_lr_schedule(args.lr_scheduler, args.learning_rate,
-                           args.lr_warmup_steps * args.gradient_accumulation_steps,
-                           num_training_steps)
-    return optax.chain(
+                           args.lr_warmup_steps,
+                           max(1, num_training_steps // accum))
+    opt = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(
             learning_rate=sched,
@@ -60,3 +68,6 @@ def hf_adamw(args, num_training_steps):
             weight_decay=args.adam_weight_decay,
         ),
     )
+    if accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
+    return opt
