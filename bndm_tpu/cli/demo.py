@@ -1,0 +1,178 @@
+"""Interactive comparison demo: DDIM vs IADB vs BNDM on the same noise.
+
+TPU-native counterpart of reference ``gradio_bndm.py`` (:86-151): loads the
+three church-64 models (DDIM baseline, IADB/gaussian, BNDM/gaussianBN),
+denoises the SAME initial white noise with each, and shows intermediate
+states per step. When ``gradio`` is installed it serves the same slider UI;
+otherwise it writes a static comparison panel PNG (method rows x step
+columns) — this environment has no gradio, and the demo must still run.
+
+  python -m bndm_tpu.cli.demo --dataset=church_res64 --res=64 \
+      --scheduler_gamma=sigmoid --scheduler_param=1000 --nb_steps=50
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, default="church_res64")
+    p.add_argument("--res", type=int, default=64)
+    p.add_argument("--train_or_test", type=str, default="test")
+    p.add_argument("--scheduler_gamma", type=str, default="sigmoid")
+    p.add_argument("--scheduler_param", type=float, default=1000)
+    p.add_argument("--scheduler_param_s", type=float, default=0)
+    p.add_argument("--scheduler_param_e", type=float, default=3)
+    p.add_argument("--nb_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bluenoise_dir", type=str, default="bluenoise")
+    p.add_argument("--output", type=str, default="demo_comparison.png")
+    p.add_argument("--tiny_model", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--serve", action="store_true", help="force the gradio UI")
+    return p.parse_args(argv)
+
+
+def _model_and_params(opt, out_channel, ckpt_path):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params
+    from bndm_tpu.models.unet2d import UNet2D, UNet2DConfig, unet_config_for_res
+
+    if opt.tiny_model:
+        cfg = UNet2DConfig(
+            in_channels=3, out_channels=out_channel, block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            attention_head_dim=4, norm_num_groups=4, dtype=opt.compute_dtype,
+        )
+    else:
+        cfg = unet_config_for_res(opt.res, 3, out_channel, dtype=opt.compute_dtype)
+    model = UNet2D(cfg)
+    if ckpt_path and os.path.exists(ckpt_path):
+        params = load_params(ckpt_path)
+    else:
+        print(f"WARNING: checkpoint {ckpt_path} not found; random init "
+              "(demo still shows the pipeline plumbing)")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 3, opt.res, opt.res)), jnp.zeros((1,)))
+    return model, params
+
+
+def generate_all(opt):
+    """Run the three methods from the same x0; returns dict name -> frames
+    (n_frames, C, H, W) in [-1, 1]-ish (intermediates unnormalized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_L_for
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    key = jax.random.PRNGKey(opt.seed)
+    x0 = jax.random.normal(key, (1, 3, opt.res, opt.res), jnp.float32)
+    ds = opt.dataset
+
+    results = {}
+    # DDIM baseline (reference model dir ddim_church_res64)
+    m, p = _model_and_params(opt, 3, f"results_gaussianBN/ddim_{ds}/unet/model.npz")
+    sched = DDIMScheduler()
+    out, frames = sample_ddim(m.apply, p, x0, scheduler=sched,
+                              num_inference_steps=opt.nb_steps, collect_frames=True)
+    results["DDIM"] = np.asarray(frames[:, 0])
+
+    # IADB (gaussian, outc3)
+    m, p = _model_and_params(
+        opt, 3, f"results_gaussianBN/{ds}_gaussian_linear_outc3_seed0/model.npz")
+    out, frames = sample_iadb(m.apply, p, x0, nb_steps=opt.nb_steps,
+                              collect_frames=True, log_freq=max(opt.nb_steps // 10, 1))
+    results["IADB"] = np.asarray(frames[:, 0])
+
+    # BNDM (gaussianBN, outc6)
+    m, p = _model_and_params(
+        opt, 6, f"results_gaussianBN/{ds}_gaussianBN_{opt.scheduler_gamma}_outc6_seed0/model.npz")
+    sp = (opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e)
+    out, frames = sample_iadb(m.apply, p, x0, nb_steps=opt.nb_steps,
+                              scheduler_gamma=opt.scheduler_gamma, gamma_params=sp,
+                              two_head=True, collect_frames=True,
+                              log_freq=max(opt.nb_steps // 10, 1))
+    results["BNDM"] = np.asarray(frames[:, 0])
+    return results
+
+
+def _to_img(frame, final):
+    a = np.asarray(frame)
+    if final:
+        a = np.clip((a + 1.0) / 2.0, 0, 1)
+    else:
+        a = (a - a.min()) / max(a.max() - a.min(), 1e-8)
+    return np.transpose(a, (1, 2, 0))
+
+
+def save_panel(results, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = len(results)
+    cols = max(len(v) for v in results.values())
+    fig, axes = plt.subplots(rows, cols, figsize=(1.6 * cols, 1.8 * rows))
+    for r, (name, frames) in enumerate(results.items()):
+        for c in range(cols):
+            ax = axes[r][c] if rows > 1 else axes[c]
+            if c < len(frames):
+                ax.imshow(_to_img(frames[c], final=(c == len(frames) - 1)))
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if c == 0:
+                ax.set_ylabel(name, fontsize=12)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"comparison panel written to {path}")
+
+
+def serve_gradio(opt, results):
+    import gradio as gr
+
+    names = list(results)
+    n = max(len(v) for v in results.values())
+
+    def show(step_idx):
+        return [
+            _to_img(results[name][min(int(step_idx), len(results[name]) - 1)],
+                    final=(int(step_idx) >= len(results[name]) - 1))
+            for name in names
+        ]
+
+    with gr.Blocks(title="BNDM-TPU: DDIM vs IADB vs BNDM") as ui:
+        slider = gr.Slider(0, n - 1, value=n - 1, step=1, label="denoising frame")
+        imgs = [gr.Image(label=name) for name in names]
+        slider.change(show, inputs=slider, outputs=imgs)
+    ui.launch()
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    results = generate_all(opt)
+    try:
+        import gradio  # noqa: F401
+
+        has_gradio = True
+    except ImportError:
+        has_gradio = False
+    if has_gradio or opt.serve:
+        serve_gradio(opt, results)
+    else:
+        save_panel(results, opt.output)
+
+
+if __name__ == "__main__":
+    main()
