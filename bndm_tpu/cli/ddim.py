@@ -134,6 +134,7 @@ def run_test(args):
 
     from bndm_tpu.cli.common import load_params, save_image_grid
     from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
 
     out_dir = out_dir_for(args)
@@ -147,6 +148,8 @@ def run_test(args):
         prediction_type=args.prediction_type,
     )
 
+    mesh = auto_mesh(args.eval_batch_size)
+    params = replicate(mesh, params)
     key = jax.random.PRNGKey(args.seed)
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
@@ -166,6 +169,8 @@ def run_test(args):
                 jax.random.fold_in(key, i),
                 (args.eval_batch_size, 3, args.resolution, args.resolution), jnp.float32)
 
+        if x0.shape[0] % mesh.devices.size == 0:
+            x0 = shard_batch(mesh, x0)
         t0 = time.time()
         out, frames = sample_ddim(model.apply, params, x0, scheduler=scheduler,
                                   num_inference_steps=args.ddpm_num_inference_steps,

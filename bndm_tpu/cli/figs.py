@@ -44,6 +44,14 @@ def _save_png(arr_chw, path):
 
 def _save_exr_or_npy(img2d, path_base):
     img2d = np.asarray(img2d, dtype=np.float32)
+    try:  # cv2 EXR, like the reference (fig script :10-11,177)
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+
+        if cv2.imwrite(path_base + ".exr", img2d):
+            return path_base + ".exr"
+    except Exception:
+        pass
     try:  # imageio with an EXR plugin, if present
         import imageio.v3 as iio
 

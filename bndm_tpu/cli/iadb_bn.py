@@ -200,10 +200,8 @@ def run_test(opt):
     import jax.numpy as jnp
 
     from bndm_tpu.cli.common import load_params, noise_folder_name, save_image_grid
-    from bndm_tpu.ops.noise import get_noise
-    from bndm_tpu.ops.schedules import gamma_schedule
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.iadb import sample_iadb
-    from bndm_tpu.utils.image import superres_condition
 
     model, tcfg, L, out_dir = build(opt)
     fname = f"{opt.dataset}_iadb_{noise_folder_name(opt.noise_type)}_steps{opt.nb_steps}"
@@ -218,6 +216,11 @@ def run_test(opt):
     else:
         sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
                       np.float32)
+
+    # gallery-scale sampling shards the batch across chips (replaces the
+    # reference's DataParallel scatter/gather, iadb_bn.py:716)
+    mesh = auto_mesh(opt.batch_size)
+    params = replicate(mesh, params)
 
     L = jnp.asarray(L)
     total = opt.test_samples
@@ -240,6 +243,8 @@ def run_test(opt):
         else:
             x0 = jax.random.normal(bkey, (bs, 3, opt.res, opt.res), jnp.float32)
 
+        if x0.shape[0] % mesh.devices.size == 0:
+            x0 = shard_batch(mesh, x0)
         t0 = time.time()
         sample, frames = sample_iadb(
             model.apply, params, x0,

@@ -62,10 +62,15 @@ class UNet2DConfig:
     freq_shift: float = 0.0
     dropout: float = 0.0
     dtype: str = "float32"  # compute dtype ("bfloat16" on TPU for speed)
+    norm_dtype: str = "float32"  # GroupNorm compute dtype (fp32 = diffusers parity)
 
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def gn_dtype(self):
+        return jnp.dtype(self.norm_dtype)
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32"):
@@ -144,12 +149,13 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None, deterministic=True):
         act = ACT[self.act_fn]
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm1")(x)
         h = act(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:  # VAE resnets have no time conditioning
@@ -157,7 +163,7 @@ class ResnetBlock2D(nn.Module):
                 act(temb).astype(self.dtype)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm2")(h)
         h = act(h).astype(self.dtype)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -179,6 +185,7 @@ class AttentionBlock(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -186,7 +193,7 @@ class AttentionBlock(nn.Module):
         heads = max(1, c // self.head_dim)
         dh = c // heads
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="group_norm")(x)
         h = h.astype(self.dtype).reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -239,12 +246,12 @@ class DownBlock2D(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, name=f"resnets_{i}",
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, name=f"attentions_{i}",
+                    cfg.compute_dtype, cfg.gn_dtype, name=f"attentions_{i}",
                 )(x)
             skips.append(x)
         if self.add_downsample:
@@ -268,12 +275,12 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, name=f"resnets_{i}",
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, name=f"attentions_{i}",
+                    cfg.compute_dtype, cfg.gn_dtype, name=f"attentions_{i}",
                 )(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, cfg.compute_dtype, name="upsamplers_0")(x)
@@ -289,16 +296,16 @@ class UNetMidBlock2D(nn.Module):
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, name="resnets_0",
+            cfg.compute_dtype, cfg.gn_dtype, name="resnets_0",
         )(x, temb, deterministic)
         if cfg.add_attention:
             x = AttentionBlock(
                 cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.compute_dtype, name="attentions_0",
+                cfg.compute_dtype, cfg.gn_dtype, name="attentions_0",
             )(x)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, name="resnets_1",
+            cfg.compute_dtype, cfg.gn_dtype, name="resnets_1",
         )(x, temb, deterministic)
         return x
 
@@ -353,7 +360,7 @@ class UNet2D(nn.Module):
                 name=f"up_blocks_{i}",
             )(h, skips, temb, deterministic)
 
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=jnp.float32,
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
                          name="conv_norm_out")(h)
         h = ACT[cfg.act_fn](h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
