@@ -37,6 +37,18 @@ def _load_and_transform(path, res, hflip, antialias=True):
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
+
+    # native C++ fast path: fused resize+crop+flip+normalize+transpose
+    # (bndm_tpu/native/fastimage.cpp); PIL/numpy below is the fallback
+    try:
+        from bndm_tpu.native import fast_transform
+
+        out = fast_transform(np.asarray(img, np.uint8), res, hflip)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+
     w, h = img.size
     # torchvision Resize(res): shorter side -> res, keep aspect (bilinear)
     if w <= h:

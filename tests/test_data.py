@@ -37,7 +37,9 @@ def test_resize_center_crop_semantics(tmp_path):
     ds = ImageFolderDataset(str(tmp_path), res=32, random_flip=False)
     got = ds.get(0, hflip=False)
     assert got.shape == (3, 32, 32)
-    np.testing.assert_allclose(got, want, atol=1e-6)
+    # native C++ path uses float filter coefficients vs PIL's 8-bit
+    # fixed-point ones: allow 2 LSB
+    np.testing.assert_allclose(got, want, atol=2.5 / 255.0)
 
 
 def test_loader_epoch_determinism(tmp_path):
