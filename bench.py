@@ -83,7 +83,10 @@ def _bench_sampling(batch=500, steps=250, res=64):
     return sps, dt, flops_per_image
 
 
-def _bench_noise(batch=500, res=64, iters=20):
+def _bench_noise(batch=500, res=64, inner=10):
+    """Amortized in-jit throughput: in real use the noise engine runs inside
+    the (jitted) train/sample step, so per-dispatch overhead is excluded by
+    chaining ``inner`` generations in one compiled scan."""
     import jax
     import jax.numpy as jnp
 
@@ -95,17 +98,23 @@ def _bench_noise(batch=500, res=64, iters=20):
     L = jnp.asarray(L)
 
     @jax.jit
-    def gen(key, gamma):
-        x = jnp.zeros((batch, 3, res, res), jnp.float32)
-        return get_noise(x, L, gamma, noise_type="gaussianBN", train=True, key=key).noise
+    def gen_chain(key, gamma):
+        def body(carry, i):
+            r = get_noise(
+                jnp.zeros((batch, 3, res, res), jnp.float32), L, gamma,
+                noise_type="gaussianBN", train=True, key=jax.random.fold_in(key, i),
+            )
+            return carry + jnp.sum(r.noise), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(inner))
+        return total
 
     key = jax.random.PRNGKey(0)
     gamma = jnp.full((batch,), 0.5)
-    _fetch(gen(key, gamma))
+    _fetch(gen_chain(key, gamma))
     t0 = time.perf_counter()
-    for i in range(iters):
-        _fetch(gen(jax.random.fold_in(key, i + 1), gamma))
-    dt = (time.perf_counter() - t0) / iters
+    _fetch(gen_chain(jax.random.PRNGKey(1), gamma))
+    dt = (time.perf_counter() - t0) / inner
     mpix_s = batch * res * res / dt / 1e6
     return mpix_s, dt
 
