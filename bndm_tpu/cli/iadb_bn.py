@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--max_steps", type=int, default=None, help="cap train steps (smoke runs)")
     p.add_argument("--tiny_model", action="store_true",
                    help="swap in a tiny UNet (CI / smoke tests only)")
+    p.add_argument("--save_all_samples", action="store_true",
+                   help="save every sample of every batch (the reference's "
+                        "replicability mode saves only sample 0 of selected batches)")
     return p.parse_args(argv)
 
 
@@ -228,7 +231,16 @@ def run_test(opt):
     key = jax.random.PRNGKey(opt.seed)
     times = []
     cnt = 0
+    # paper-replicability batch filter (reference iadb_bn.py:744-753): for the
+    # published datasets only specific batch indices are sampled
+    replicability_batches = {
+        "cat_res64": [4], "cat_res128": [52], "celeba_res64": [37],
+        "celeba_res128": [10], "church_res64": [4, 23, 32, 36],
+    }.get(opt.dataset)
     for i in range(nb_batches):
+        if replicability_batches is not None and not opt.save_all_samples \
+                and i not in replicability_batches:
+            continue
         bs = min(opt.batch_size, total - i * opt.batch_size)
         bkey = jax.random.fold_in(key, i)
         # saved-noise replicability: reuse reference .npz when present
@@ -255,7 +267,8 @@ def run_test(opt):
         sample = jax.block_until_ready(sample)
         times.append(time.time() - t0)
 
-        save_image_grid(np.asarray(sample),
+        to_save = np.asarray(sample) if opt.save_all_samples else np.asarray(sample[:1])
+        save_image_grid(to_save,
                         os.path.join(out_dir, fname, "images", f"{i:05d}_{{0}}.png"))
         for j, fr in enumerate(np.asarray(frames)):
             save_image_grid(fr, os.path.join(

@@ -40,7 +40,7 @@ def test_train_then_test(workdir):
     assert (out / "model.npz").exists()
     assert (out / "losses.txt").exists()
 
-    main(COMMON + ["--train_or_test=test", "--test_samples=4"])
+    main(COMMON + ["--train_or_test=test", "--test_samples=4", "--save_all_samples"])
     imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
     assert len(list(imgdir.glob("*.png"))) == 4
     seqdir = out / "tinycat_iadb_gwn2gbn_steps20" / "seqs"
