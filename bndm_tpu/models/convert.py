@@ -165,6 +165,46 @@ def load_safetensors(path):
     return out
 
 
+def save_safetensors(tensors, path, metadata=None):
+    """Minimal safetensors writer -> file readable by torch/diffusers.
+
+    Completes the round trip: bndm-tpu checkpoints can be exported back to
+    the reference's ecosystem (``convert_flax_params`` -> this writer).
+    """
+    header = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v) for k, v in metadata.items()}
+    blobs = []
+    offset = 0
+    tag_of = {"float32": "F32", "float16": "F16", "float64": "F64",
+              "int64": "I64", "int32": "I32", "uint8": "U8", "bool": "BOOL"}
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if str(arr.dtype) not in tag_of:
+            raise ValueError(f"unsupported export dtype {arr.dtype} for {name}; "
+                             "cast (e.g. bf16 -> f32) before export")
+        raw = arr.tobytes()
+        header[name] = {
+            "dtype": tag_of[str(arr.dtype)],
+            "shape": list(arr.shape),
+            "data_offsets": [offset, offset + len(raw)],
+        }
+        blobs.append(raw)
+        offset += len(raw)
+    hjson = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hjson)))
+        f.write(hjson)
+        for b in blobs:
+            f.write(b)
+
+
+def export_reference_unet(params, path):
+    """flax params -> diffusers-style .safetensors state dict on disk."""
+    sd = {k: np.asarray(v, np.float32) for k, v in convert_flax_params(params).items()}
+    save_safetensors(sd, path, metadata={"format": "pt"})
+
+
 def load_torch_checkpoint(path):
     """Load a torch .ckpt/.pt state_dict to numpy (CPU, weights only)."""
     import torch

@@ -113,3 +113,20 @@ def test_safetensors_bf16(tmp_path):
         f.write(u16.tobytes())
     out = load_safetensors(p)
     np.testing.assert_array_equal(out["x"], vals)  # bf16 of exact values
+
+
+def test_export_roundtrip(tmp_path):
+    """flax -> safetensors file -> flax: full on-disk round trip."""
+    from bndm_tpu.models.convert import export_reference_unet, load_reference_unet
+
+    m = UNet2D(TINY)
+    params = m.init(jax.random.PRNGKey(7), jnp.zeros((1, 3, 16, 16)), jnp.zeros((1,)))
+    path = tmp_path / "unet.safetensors"
+    export_reference_unet(params, str(path))
+    back = load_reference_unet(str(path))
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((1, 3, 16, 16)), jnp.float32)
+    t = jnp.array([0.4])
+    np.testing.assert_allclose(
+        np.asarray(m.apply(params, x, t)), np.asarray(m.apply(back, x, t)),
+        rtol=1e-6, atol=1e-6,
+    )
