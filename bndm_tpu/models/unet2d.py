@@ -73,7 +73,8 @@ class UNet2DConfig:
         return jnp.dtype(self.norm_dtype)
 
 
-def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32"):
+def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
+                        norm_dtype="float32"):
     """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
 
     res 64:  6 blocks (128,128,256,256,512,512), attn 5th down / 2nd up
@@ -109,6 +110,7 @@ def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype
         up_block_types=up,
         act_fn=act_fn,
         dtype=dtype,
+        norm_dtype=norm_dtype,
     )
 
 
