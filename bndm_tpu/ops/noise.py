@@ -122,6 +122,7 @@ def get_noise(
     train=True,
     inplace=False,
     key: Optional[jax.Array] = None,
+    engine: str = "xla",
 ) -> NoiseResult:
     """Generate per-timestep noise of the 5 reference types.
 
@@ -135,6 +136,11 @@ def get_noise(
     Shapes: x (B, C, H, W) with H == W in {32, 64, 128} for the correlated
     types. L is the (4096, 4096) res-64 covariance factor. gamma_t is (B,).
     Returns ``NoiseResult(noise, noise_bn, noise_wn)``.
+
+    ``engine``: "xla" (default — jax.random.normal white noise, reproducible
+    across backends) or "fused" (TPU-only fully-fused Pallas kernel with
+    in-kernel PRNG; res-64 fresh-noise path only, used by training where
+    cross-backend bit parity doesn't matter).
     """
     if noise_type not in NOISE_TYPES:
         raise NotImplementedError(f"noise_type {noise_type!r}")
@@ -190,6 +196,15 @@ def get_noise(
         )
 
     if res == 64:
+        if engine == "fused" and not inplace:
+            # one Pallas kernel: in-kernel RNG + triangular matmul + mix
+            # (different-but-valid PRNG stream vs jax.random.normal)
+            from bndm_tpu.ops.pallas_bluenoise import fused_bluenoise
+
+            n, bn, wn = fused_bluenoise(
+                key, b, c, L, gamma_t, gbn_only=(noise_type == "GBN")
+            )
+            return NoiseResult(n.astype(dtype), bn.astype(dtype), wn.astype(dtype))
         # direct path (get_noise_recent.py:103-123)
         noise = x if inplace else jax.random.normal(key, x.shape, dtype)
         noise_wn = noise
