@@ -48,6 +48,7 @@ class TrainConfig:
     grad_clip: Optional[float] = None
     remap: bool = False
     conditional: bool = False  # superres: concat conditioning (in_channels 6)
+    noise_engine: str = "xla"  # "fused": TPU Pallas RNG+matmul+mix kernel
 
     @property
     def two_head(self):
@@ -100,7 +101,7 @@ def make_train_step(apply_fn, cfg: TrainConfig, L):
         alpha = alpha_schedule(t, cfg.nb_steps, cfg.scheduler_alpha, cfg.alpha_param)
         gamma = gamma_schedule(t, cfg.nb_steps, cfg.scheduler_gamma, sched_params)
         r = get_noise(x1, L, gamma, noise_type=cfg.noise_type, train=True,
-                      inplace=False, key=noise_key)
+                      inplace=False, key=noise_key, engine=cfg.noise_engine)
         x0 = r.noise
         if cfg.remap:
             mapping = remap_batch(x0, x1)
