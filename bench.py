@@ -122,12 +122,44 @@ def _bench_noise(batch=500, res=64, inner=10):
     return mpix_s, dt
 
 
+def _bench_train(batch=64, res=64, inner=5):
+    """Optional (BENCH_TRAIN=1): BNDM train-step throughput, imgs/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
+    from bndm_tpu.train.pixel import PixelTrainer, TrainConfig
+
+    rng = np.random.default_rng(7)
+    L = np.tril(rng.standard_normal((4096, 4096)).astype(np.float32) * 0.01)
+    np.fill_diagonal(L, 1.0)
+    cfg = TrainConfig(noise_type="gaussianBN", scheduler_gamma="sigmoid",
+                      gamma_defaults=(1000.0, 0.0, 3.0), out_channel=6,
+                      optimize_scheduler_param=True, grad_clip=1.0)
+    model = UNet2D(unet_config_for_res(res, 3, 6, dtype="bfloat16",
+                                       norm_dtype="bfloat16"))
+    tr = PixelTrainer(model, cfg, L, jax.random.PRNGKey(0))
+    batch01 = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, res, res))
+    state = tr.state
+    state, m = tr.train_step(state, batch01, jax.random.PRNGKey(2))  # compile
+    _fetch(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(inner):
+        state, m = tr.train_step(state, batch01, jax.random.PRNGKey(3 + i))
+    _fetch(m["loss"])
+    dt = (time.perf_counter() - t0) / inner
+    return batch / dt, dt
+
+
 def main():
     import jax
 
     _setup_compile_cache()
     sps, sample_dt, flops_per_image = _bench_sampling()
     mpix_s, noise_dt = _bench_noise()
+    train_sps = None
+    if os.environ.get("BENCH_TRAIN") == "1":
+        train_sps, _ = _bench_train()
 
     # documented analytic 4090 baseline (see module docstring)
     eff_4090_flops = 40e12
@@ -151,6 +183,7 @@ def main():
             "baseline_rtx4090_est_sps": round(baseline_sps, 3) if np.isfinite(baseline_sps) else None,
             "bluenoise_mpix_per_s": round(mpix_s, 1),
             "bluenoise_batch_ms": round(noise_dt * 1e3, 3),
+            "train_imgs_per_sec": round(train_sps, 2) if train_sps else None,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -154,7 +154,14 @@ def run_test(args):
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
     times = []
+    # paper-replicability batch filter (ddim_diffusers.py:656-665)
+    replicability_batches = {
+        "cat_res64": [4], "cat_res128": [0, 52], "celeba_res64": [37],
+        "celeba_res128": [10, 26], "church_res64": [4, 23, 32, 36],
+    }.get(args.dataset_name)
     for i in range(num_batch):
+        if replicability_batches is not None and i not in replicability_batches:
+            continue
         # saved-noise replicability hook (ddim_diffusers.py:667-669)
         noise_path = os.path.join(
             "results_gaussianBN",

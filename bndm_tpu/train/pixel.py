@@ -49,6 +49,7 @@ class TrainConfig:
     remap: bool = False
     conditional: bool = False  # superres: concat conditioning (in_channels 6)
     noise_engine: str = "xla"  # "fused": TPU Pallas RNG+matmul+mix kernel
+    remat: bool = False  # jax.checkpoint the UNet: trade FLOPs for HBM
 
     @property
     def two_head(self):
@@ -96,6 +97,10 @@ def make_train_step(apply_fn, cfg: TrainConfig, L):
     clamp_lo = jnp.array([r[0] for r in ranges], jnp.float32)
     clamp_hi = jnp.array([r[1] for r in ranges], jnp.float32)
     correlated = cfg.noise_type in ("gaussianBN", "gaussianRN", "GBN")
+    if cfg.remat:
+        # rematerialize UNet activations on the backward pass — standard TPU
+        # HBM/FLOP trade for bigger per-chip batches
+        apply_fn = jax.checkpoint(apply_fn)
 
     def loss_fn(params, sched_params, x1, t, noise_key):
         alpha = alpha_schedule(t, cfg.nb_steps, cfg.scheduler_alpha, cfg.alpha_param)

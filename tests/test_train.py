@@ -106,3 +106,29 @@ def test_gaussian_path_trains(L16):
     tr = PixelTrainer(model, cfg, L16, jax.random.PRNGKey(0))
     m = tr.step(jnp.full((2, 3, 64, 64), 0.5), jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_remat_grads_match(L16):
+    """jax.checkpoint must not change gradients, only memory."""
+    import jax.numpy as jnp
+    from bndm_tpu.train.pixel import make_train_step
+
+    model = UNet2D(TINY)
+    base = TrainConfig(nb_steps=100, noise_type="gaussianBN", scheduler_gamma="sigmoid",
+                       gamma_defaults=(0.2, 0.0, 3.0), out_channel=6)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)), jnp.zeros((1,)))
+    x1 = jnp.full((2, 3, 64, 64), 0.3)
+    t = jnp.array([10.0, 91.0])
+    nkey = jax.random.PRNGKey(3)
+    sp = jnp.array([0.2, 0.0, 3.0])
+
+    grads = {}
+    for remat in (False, True):
+        cfg = TrainConfig(**{**base.__dict__, "remat": remat})
+        step, _ = make_train_step(model.apply, cfg, jnp.asarray(L16))
+        (_, _), (g, _) = jax.value_and_grad(step.loss_fn, argnums=(0, 1), has_aux=True)(
+            params, sp, x1, t, nkey)
+        grads[remat] = g
+    for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[True])):
+        # recompute changes fusion/reduction order -> small float drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-3)
