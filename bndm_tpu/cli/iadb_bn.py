@@ -71,6 +71,10 @@ def parse_args(argv=None):
     p.add_argument("--save_all_samples", action="store_true",
                    help="save every sample of every batch (the reference's "
                         "replicability mode saves only sample 0 of selected batches)")
+    p.add_argument("--save_noise", action="store_true",
+                   help="save each batch's initial noise as noise_batch{B}_idx{i}.npz "
+                        "(the reference's replicability artifacts, iadb_bn.py:781-783) "
+                        "so DDIM/BNDM runs can consume identical x0")
     return p.parse_args(argv)
 
 
@@ -254,6 +258,12 @@ def run_test(opt):
             x0 = jnp.asarray(np.load(noise_path)["noise"][:bs], jnp.float32)
         else:
             x0 = jax.random.normal(bkey, (bs, 3, opt.res, opt.res), jnp.float32)
+
+        if opt.save_noise:
+            np.savez_compressed(
+                os.path.join(out_dir, fname, "noise",
+                             f"noise_batch{bs}_idx{i:05d}.npz"),
+                noise=np.asarray(x0))
 
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
