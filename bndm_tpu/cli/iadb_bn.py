@@ -75,6 +75,9 @@ def parse_args(argv=None):
                    help="save each batch's initial noise as noise_batch{B}_idx{i}.npz "
                         "(the reference's replicability artifacts, iadb_bn.py:781-783) "
                         "so DDIM/BNDM runs can consume identical x0")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of one sampling batch "
+                        "(view with TensorBoard/xprof)")
     return p.parse_args(argv)
 
 
@@ -267,14 +270,25 @@ def run_test(opt):
 
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
+
+        def _run():
+            s, f = sample_iadb(
+                model.apply, params, x0,
+                nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
+                alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
+                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                collect_frames=True,
+            )
+            return jax.block_until_ready(s), f
+
         t0 = time.time()
-        sample, frames = sample_iadb(
-            model.apply, params, x0,
-            nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
-            alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
-            gamma_params=jnp.asarray(sp), two_head=tcfg.two_head, collect_frames=True,
-        )
-        sample = jax.block_until_ready(sample)
+        if opt.profile_dir and not times:  # trace the first executed batch
+            from bndm_tpu.utils.timing import profile_trace
+
+            with profile_trace(opt.profile_dir):
+                sample, frames = _run()
+        else:
+            sample, frames = _run()
         times.append(time.time() - t0)
 
         to_save = np.asarray(sample) if opt.save_all_samples else np.asarray(sample[:1])
