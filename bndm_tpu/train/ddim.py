@@ -8,6 +8,7 @@ SNR-weighted sample) loss, AdamW + HF LR schedule + grad-clip 1.0, EMA.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -51,7 +52,7 @@ def make_ddim_train_step(apply_fn, cfg: DDIMTrainConfig, optimizer):
         d = apply_fn(params, noisy, t.astype(jnp.float32))
         return ddim_loss(d, noise, clean, t, acp, cfg.prediction_type)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: DDIMTrainState, batch01, key):
         clean = batch01 * 2.0 - 1.0
         t_key, noise_key = jax.random.split(key)

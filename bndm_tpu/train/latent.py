@@ -11,6 +11,7 @@ HF LR schedule + grad-clip 1.0, and optional EMA.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
@@ -68,7 +69,7 @@ def make_latent_train_step(apply_fn, cfg: LatentTrainConfig, L, optimizer):
                              alpha, alpha_prev, gamma, gamma_prev, cfg.two_head)
         return iadb_loss(d, clean, r.noise)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: LatentTrainState, latents, key):
         t_key, noise_key = jax.random.split(key)
         t = antithetic_timesteps(t_key, latents.shape[0], T).astype(jnp.float32)

@@ -130,7 +130,7 @@ def make_train_step(apply_fn, cfg: TrainConfig, L):
             loss = iadb_loss(d, x1_paired, x0)
         return loss, {"loss": loss}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch01, key):
         x1 = batch01 * 2.0 - 1.0
         t_key, noise_key = jax.random.split(key)
