@@ -101,16 +101,19 @@ def run_train(args):
 
     losses = []
     for epoch in range(args.num_epochs):
+        epoch_metrics = []  # device scalars; fetched once per epoch
         for batch in loader.epoch(epoch):
             state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
                                   jax.random.fold_in(key, step))
-            losses.append(float(m["loss"]))
-            logger.log({"loss": losses[-1]}, step)
+            epoch_metrics.append(m["loss"])
             step += 1
             if step % args.checkpointing_steps == 0:
                 mgr.save(step, state)
             if args.max_steps and step >= args.max_steps:
                 break
+        for off, l in enumerate(epoch_metrics):
+            losses.append(float(l))
+            logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
         print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.5f}")
         if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
             save_params(os.path.join(out_dir, "unet", "model.npz"), state.params)

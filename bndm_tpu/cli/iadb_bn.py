@@ -177,16 +177,22 @@ def run_train(opt):
     step = start_step
     t0 = time.time()
     for epoch in range(opt.epochs):
+        epoch_metrics = []  # device scalars; fetched once per epoch (no
+        # per-step host sync — keeps the TPU pipeline full)
         for batch in loader.epoch(epoch):
             batch = shard_batch(mesh, jnp.asarray(batch))
             m = trainer.step(batch, jax.random.fold_in(key, step))
-            losses.append(float(m["loss"]))
-            for j, k in enumerate(("sched_tau", "sched_s", "sched_e")):
-                sp_hist[j].append(float(m[k]))
-            logger.log({"loss": losses[-1]}, step)
+            epoch_metrics.append(m)
             step += 1
             if opt.max_steps and step >= opt.max_steps:
                 break
+        for em in epoch_metrics:
+            losses.append(float(em["loss"]))
+            for j, k in enumerate(("sched_tau", "sched_s", "sched_e")):
+                sp_hist[j].append(float(em[k]))
+        for off, em in enumerate(epoch_metrics):
+            logger.log({"loss": float(em["loss"])}, step - len(epoch_metrics) + off)
+        m = epoch_metrics[-1]
         print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.2f} "
               f"sched_params tau={float(m['sched_tau']):.4f} s={float(m['sched_s']):.4f} "
               f"e={float(m['sched_e']):.4f} ({step} steps, {time.time()-t0:.0f}s)")
