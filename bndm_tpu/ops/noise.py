@@ -196,7 +196,7 @@ def get_noise(
         )
 
     if res == 64:
-        if engine == "fused" and not inplace:
+        if engine == "fused" and not inplace and jax.default_backend() == "tpu":
             # one Pallas kernel: in-kernel RNG + triangular matmul + mix
             # (different-but-valid PRNG stream vs jax.random.normal)
             from bndm_tpu.ops.pallas_bluenoise import fused_bluenoise
