@@ -132,3 +132,34 @@ def test_remat_grads_match(L16):
     for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[True])):
         # recompute changes fusion/reduction order -> small float drift
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-3)
+
+
+def test_red_noise_and_gbn_paths(L16):
+    """gaussianRN and GBN train paths (RN uses the red L; GBN uses pure-blue
+    noise with the plain IADB loss, iadb_bn.py:973)."""
+    for ntype, outc in [("gaussianRN", 6), ("GBN", 3)]:
+        cfg = TrainConfig(nb_steps=50, noise_type=ntype, scheduler_gamma="sigmoid",
+                          gamma_defaults=(0.2, 0.0, 3.0), out_channel=outc)
+        tiny = UNet2DConfig(**{**TINY.__dict__, "out_channels": outc})
+        tr = PixelTrainer(UNet2D(tiny), cfg, L16, jax.random.PRNGKey(0))
+        m = tr.step(jnp.full((2, 3, 64, 64), 0.5), jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"])), ntype
+
+
+def test_uniform_noise_path(L16):
+    cfg = TrainConfig(nb_steps=50, noise_type="uniform", scheduler_gamma="linear",
+                      out_channel=3)
+    tiny = UNet2DConfig(**{**TINY.__dict__, "out_channels": 3})
+    tr = PixelTrainer(UNet2D(tiny), cfg, L16, jax.random.PRNGKey(0))
+    m = tr.step(jnp.full((2, 3, 64, 64), 0.5), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_remap_training_runs(L16):
+    cfg = TrainConfig(nb_steps=50, noise_type="gaussianBN", scheduler_gamma="sigmoid",
+                      gamma_defaults=(0.2, 0.0, 3.0), out_channel=6, remap=True)
+    tr = PixelTrainer(UNet2D(TINY), cfg, L16, jax.random.PRNGKey(0))
+    batch = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (4, 3, 64, 64)),
+                        jnp.float32)
+    m = tr.step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
