@@ -75,6 +75,10 @@ def parse_args(argv=None):
                    help="save each batch's initial noise as noise_batch{B}_idx{i}.npz "
                         "(the reference's replicability artifacts, iadb_bn.py:781-783) "
                         "so DDIM/BNDM runs can consume identical x0")
+    p.add_argument("--noise_engine", type=str, default="xla", choices=["xla", "fused"],
+                   help="'fused': TPU Pallas RNG+matmul+mix kernel for training noise")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet activations (bigger batches per chip)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
@@ -122,6 +126,8 @@ def build(opt):
         grad_clip=opt.grad_clip,
         remap=opt.remap,
         conditional=opt.is_conditional,
+        noise_engine=opt.noise_engine,
+        remat=opt.remat,
     )
     L = load_L_for(opt.noise_type, opt.bluenoise_dir)
     out_dir = output_folder_name(opt)

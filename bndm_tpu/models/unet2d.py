@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from bndm_tpu.ops.pallas_groupnorm import fused_group_norm
+
 ACT = {
     "silu": nn.silu,
     "swish": nn.silu,
@@ -63,6 +65,7 @@ class UNet2DConfig:
     dropout: float = 0.0
     dtype: str = "float32"  # compute dtype ("bfloat16" on TPU for speed)
     norm_dtype: str = "float32"  # GroupNorm compute dtype (fp32 = diffusers parity)
+    fused_groupnorm: bool = False  # Pallas single-pass GroupNorm(+SiLU) kernel
 
     @property
     def compute_dtype(self):
@@ -74,7 +77,7 @@ class UNet2DConfig:
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
-                        norm_dtype="float32"):
+                        norm_dtype="float32", fused_groupnorm=False):
     """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
 
     res 64:  6 blocks (128,128,256,256,512,512), attn 5th down / 2nd up
@@ -111,6 +114,7 @@ def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype
         act_fn=act_fn,
         dtype=dtype,
         norm_dtype=norm_dtype,
+        fused_groupnorm=fused_groupnorm,
     )
 
 
@@ -130,6 +134,22 @@ def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=True,
     if flip_sin_to_cos:
         return jnp.concatenate([cos, sin], axis=-1)
     return jnp.concatenate([sin, cos], axis=-1)
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with parameters named like nn.GroupNorm (scale/bias) but
+    executed by the single-pass Pallas kernel, optionally fusing SiLU."""
+
+    groups: int
+    eps: float
+    act: str = None  # "silu" fuses the activation into the kernel
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return fused_group_norm(x, scale, bias, self.groups, self.eps, self.act)
 
 
 class TimestepEmbedding(nn.Module):
@@ -152,21 +172,31 @@ class ResnetBlock2D(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fused_gn: bool = False
+
+    def _norm_act(self, x, name):
+        act = ACT[self.act_fn]
+        if self.fused_gn:
+            fused_act = "silu" if self.act_fn in ("silu", "swish") else None
+            h = FusedGroupNorm(self.groups, self.eps, fused_act, name=name)(x)
+            if fused_act is None:
+                h = act(h)
+            return h.astype(self.dtype)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name=name)(x)
+        return act(h).astype(self.dtype)
 
     @nn.compact
     def __call__(self, x, temb=None, deterministic=True):
         act = ACT[self.act_fn]
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm1")(x)
-        h = act(h).astype(self.dtype)
+        h = self._norm_act(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:  # VAE resnets have no time conditioning
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 act(temb).astype(self.dtype)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="norm2")(h)
-        h = act(h).astype(self.dtype)
+        h = self._norm_act(h, "norm2")
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
@@ -188,6 +218,7 @@ class AttentionBlock(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -195,7 +226,11 @@ class AttentionBlock(nn.Module):
         heads = max(1, c // self.head_dim)
         dh = c // heads
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name="group_norm")(x)
+        if self.fused_gn:
+            h = FusedGroupNorm(self.groups, self.eps, None, name="group_norm")(x)
+        else:
+            h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype,
+                             name="group_norm")(x)
         h = h.astype(self.dtype).reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -248,12 +283,14 @@ class DownBlock2D(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, name=f"resnets_{i}",
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype, name=f"attentions_{i}",
+                    cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                    name=f"attentions_{i}",
                 )(x)
             skips.append(x)
         if self.add_downsample:
@@ -277,12 +314,14 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, name=f"resnets_{i}",
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype, name=f"attentions_{i}",
+                    cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                    name=f"attentions_{i}",
                 )(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, cfg.compute_dtype, name="upsamplers_0")(x)
@@ -298,16 +337,16 @@ class UNetMidBlock2D(nn.Module):
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, name="resnets_0",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="resnets_0",
         )(x, temb, deterministic)
         if cfg.add_attention:
             x = AttentionBlock(
                 cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.compute_dtype, cfg.gn_dtype, name="attentions_0",
+                cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="attentions_0",
             )(x)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, name="resnets_1",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="resnets_1",
         )(x, temb, deterministic)
         return x
 
@@ -362,8 +401,16 @@ class UNet2D(nn.Module):
                 name=f"up_blocks_{i}",
             )(h, skips, temb, deterministic)
 
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
-                         name="conv_norm_out")(h)
-        h = ACT[cfg.act_fn](h).astype(dt)
+        if cfg.fused_groupnorm:
+            fused_act = "silu" if cfg.act_fn in ("silu", "swish") else None
+            h = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, fused_act,
+                               name="conv_norm_out")(h)
+            if fused_act is None:
+                h = ACT[cfg.act_fn](h)
+            h = h.astype(dt)
+        else:
+            h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
+                             name="conv_norm_out")(h)
+            h = ACT[cfg.act_fn](h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
