@@ -17,13 +17,16 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastimage.cpp")
-_LIB_PATH = os.path.join(_HERE, "_fastimage.so")
+# keep the built artifact out of the package namespace (a .so inside the
+# package dir would be picked up as a broken extension module)
+_LIB_PATH = os.path.join(_HERE, "_build", "fastimage.so")
 
 _lib = None
 _tried = False
 
 
 def _build():
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
     with tempfile.TemporaryDirectory() as td:
         tmp_out = os.path.join(td, "_fastimage.so")
         subprocess.run(
