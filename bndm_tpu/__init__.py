@@ -9,3 +9,32 @@ parallelism, Pallas kernels for the noise hot path).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (keeps `import bndm_tpu` light)."""
+    surface = {
+        "get_noise": ("bndm_tpu.ops.noise", "get_noise"),
+        "get_noise_v2": ("bndm_tpu.ops.noise", "get_noise_v2"),
+        "alpha_schedule": ("bndm_tpu.ops.schedules", "alpha_schedule"),
+        "gamma_schedule": ("bndm_tpu.ops.schedules", "gamma_schedule"),
+        "make_cov_L": ("bndm_tpu.ops.cov", "make_cov_L"),
+        "load_cov_L": ("bndm_tpu.ops.cov", "load_cov_L"),
+        "UNet2D": ("bndm_tpu.models.unet2d", "UNet2D"),
+        "UNet2DConfig": ("bndm_tpu.models.unet2d", "UNet2DConfig"),
+        "unet_config_for_res": ("bndm_tpu.models.unet2d", "unet_config_for_res"),
+        "AutoencoderKL": ("bndm_tpu.models.vae", "AutoencoderKL"),
+        "sample_iadb": ("bndm_tpu.samplers.iadb", "sample_iadb"),
+        "IADBScheduler": ("bndm_tpu.samplers.iadb", "IADBScheduler"),
+        "DDIMScheduler": ("bndm_tpu.samplers.ddim", "DDIMScheduler"),
+        "sample_ddim": ("bndm_tpu.samplers.ddim", "sample_ddim"),
+        "PixelTrainer": ("bndm_tpu.train.pixel", "PixelTrainer"),
+        "TrainConfig": ("bndm_tpu.train.pixel", "TrainConfig"),
+        "CheckpointManager": ("bndm_tpu.ckpt.manager", "CheckpointManager"),
+    }
+    if name in surface:
+        import importlib
+
+        module, attr = surface[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'bndm_tpu' has no attribute {name!r}")
