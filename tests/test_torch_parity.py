@@ -1,0 +1,247 @@
+"""Cross-framework numerics: flax modules vs independent torch implementations.
+
+The oracle layers here are built from torch's OWN native ops
+(torch.nn.GroupNorm / Conv2d / Linear / functional.silu / softmax) — the same
+primitives the reference's diffusers models bottom out in — wired per the
+diffusers definitions. Weights flow through our converter
+(convert_flax_params), so these tests validate, against an independent
+framework: the conv/linear layout transposes, GroupNorm epsilon/grouping,
+attention head split + fp32 softmax + residual, down/upsample geometry, the
+timestep-embedding formula, and the full UNet skip wiring.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from bndm_tpu.models.convert import convert_flax_params
+from bndm_tpu.models.unet2d import (
+    AttentionBlock,
+    ResnetBlock2D,
+    UNet2D,
+    UNet2DConfig,
+    get_timestep_embedding,
+)
+
+torch.manual_seed(0)
+
+
+def _load(module, flax_subtree):
+    sd = convert_flax_params({"params": flax_subtree})
+    module.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in sd.items()})
+    module.eval()
+    return module
+
+
+def _cmp(flax_out, torch_out, rtol=2e-4, atol=2e-4):
+    np.testing.assert_allclose(
+        np.asarray(flax_out), torch_out.detach().numpy(), rtol=rtol, atol=atol
+    )
+
+
+class TResnet(tnn.Module):
+    def __init__(self, cin, cout, temb_dim, groups, eps=1e-5):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(groups, cin, eps=eps)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = tnn.Linear(temb_dim, cout)
+        self.norm2 = tnn.GroupNorm(groups, cout, eps=eps)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = tnn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x, temb):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(F.silu(temb))[:, :, None, None]
+        h = self.conv2(F.silu(self.norm2(h)))
+        xs = self.conv_shortcut(x) if self.conv_shortcut is not None else x
+        return xs + h
+
+
+def test_resnet_block_parity():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 16, 16)).astype(np.float32)
+    temb = rng.standard_normal((2, 32)).astype(np.float32)
+
+    block = ResnetBlock2D(out_channels=16, groups=4)
+    params = block.init(jax.random.PRNGKey(1),
+                        jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), jnp.asarray(temb))
+    # flax module operates NHWC internally
+    out = block.apply(params, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+                      jnp.asarray(temb))
+    out = jnp.transpose(out, (0, 3, 1, 2))
+
+    t = _load(TResnet(8, 16, 32, 4), params["params"])
+    want = t(torch.from_numpy(x), torch.from_numpy(temb))
+    _cmp(out, want)
+
+
+class TAttn(tnn.Module):
+    def __init__(self, c, head_dim, groups, eps=1e-5):
+        super().__init__()
+        self.group_norm = tnn.GroupNorm(groups, c, eps=eps)
+        self.to_q = tnn.Linear(c, c)
+        self.to_k = tnn.Linear(c, c)
+        self.to_v = tnn.Linear(c, c)
+        self.to_out = tnn.ModuleList([tnn.Linear(c, c)])
+        self.heads = c // head_dim
+        self.head_dim = head_dim
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        res = x
+        y = self.group_norm(x).reshape(b, c, h * w).transpose(1, 2)
+        q = self.to_q(y).reshape(b, -1, self.heads, self.head_dim)
+        k = self.to_k(y).reshape(b, -1, self.heads, self.head_dim)
+        v = self.to_v(y).reshape(b, -1, self.heads, self.head_dim)
+        logits = torch.einsum("bqhd,bkhd->bhqk", q, k).float() / math.sqrt(self.head_dim)
+        attn = torch.softmax(logits, dim=-1).to(v.dtype)
+        out = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, -1, c)
+        out = self.to_out[0](out).transpose(1, 2).reshape(b, c, h, w)
+        return out + res
+
+
+def test_attention_block_parity():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 16, 8, 8)).astype(np.float32)
+    blk = AttentionBlock(head_dim=4, groups=4)
+    xn = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    params = blk.init(jax.random.PRNGKey(3), xn)
+    out = jnp.transpose(blk.apply(params, xn), (0, 3, 1, 2))
+    t = _load(TAttn(16, 4, 4), params["params"])
+    want = t(torch.from_numpy(x))
+    _cmp(out, want)
+
+
+def test_timestep_embedding_parity():
+    """Against an independent torch implementation of the sinusoidal formula
+    (diffusers semantics: exponents over half_dim, [cos|sin] when flipped)."""
+    t = np.array([0.0, 0.5, 1.0, 250.0, 999.0], np.float32)
+    dim = 32
+    half = dim // 2
+    tt = torch.from_numpy(t)
+    exponent = -math.log(10000) * torch.arange(half, dtype=torch.float32) / half
+    emb = tt[:, None] * torch.exp(exponent)[None, :]
+    want = torch.cat([torch.cos(emb), torch.sin(emb)], dim=-1)
+    got = get_timestep_embedding(jnp.asarray(t), dim, flip_sin_to_cos=True)
+    _cmp(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TMiniUNet(tnn.Module):
+    """Torch mirror of the tiny 2-block UNet2D wiring (diffusers skip rules)."""
+
+    def __init__(self, cin=3, cout=6, ch=(8, 16), groups=4, head_dim=4, lpb=2):
+        super().__init__()
+        temb_dim = ch[0] * 4
+        self.conv_in = tnn.Conv2d(cin, ch[0], 3, padding=1)
+        self.time_embedding = tnn.Module()
+        self.time_embedding.linear_1 = tnn.Linear(ch[0], temb_dim)
+        self.time_embedding.linear_2 = tnn.Linear(temb_dim, temb_dim)
+        self.ch = ch
+        self.lpb = lpb
+
+        def resnets(cin_, cout_, n):
+            return tnn.ModuleList(
+                [TResnet(cin_ if i == 0 else cout_, cout_, temb_dim, groups)
+                 for i in range(n)]
+            )
+
+        # down block 0: plain, downsample; block 1: attn, final (no downsample)
+        self.down_blocks = tnn.ModuleList()
+        db0 = tnn.Module()
+        db0.resnets = resnets(ch[0], ch[0], lpb)
+        ds = tnn.Module()
+        ds.conv = tnn.Conv2d(ch[0], ch[0], 3, stride=2, padding=1)
+        db0.downsamplers = tnn.ModuleList([ds])
+        self.down_blocks.append(db0)
+        db1 = tnn.Module()
+        db1.resnets = resnets(ch[0], ch[1], lpb)
+        db1.attentions = tnn.ModuleList([TAttn(ch[1], head_dim, groups) for _ in range(lpb)])
+        self.down_blocks.append(db1)
+
+        self.mid_block = tnn.Module()
+        self.mid_block.resnets = resnets(ch[1], ch[1], 2)
+        self.mid_block.attentions = tnn.ModuleList([TAttn(ch[1], head_dim, groups)])
+
+        # up block 0 (attn, upsample), up block 1 (plain, final)
+        self.up_blocks = tnn.ModuleList()
+        ub0 = tnn.Module()
+        ub0.resnets = tnn.ModuleList([
+            TResnet(ch[1] + ch[1], ch[1], temb_dim, groups),
+            TResnet(ch[1] + ch[1], ch[1], temb_dim, groups),
+            TResnet(ch[1] + ch[0], ch[1], temb_dim, groups),
+        ])
+        ub0.attentions = tnn.ModuleList([TAttn(ch[1], head_dim, groups) for _ in range(3)])
+        us = tnn.Module()
+        us.conv = tnn.Conv2d(ch[1], ch[1], 3, padding=1)
+        ub0.upsamplers = tnn.ModuleList([us])
+        self.up_blocks.append(ub0)
+        ub1 = tnn.Module()
+        ub1.resnets = tnn.ModuleList([
+            TResnet(ch[1] + ch[0], ch[0], temb_dim, groups),
+            TResnet(ch[0] + ch[0], ch[0], temb_dim, groups),
+            TResnet(ch[0] + ch[0], ch[0], temb_dim, groups),
+        ])
+        self.up_blocks.append(ub1)
+
+        self.conv_norm_out = tnn.GroupNorm(groups, ch[0], eps=1e-5)
+        self.conv_out = tnn.Conv2d(ch[0], cout, 3, padding=1)
+
+    def forward(self, x, t):
+        half = self.ch[0] // 2
+        exponent = -math.log(10000) * torch.arange(half, dtype=torch.float32) / half
+        emb = t[:, None] * torch.exp(exponent)[None, :]
+        temb = torch.cat([torch.cos(emb), torch.sin(emb)], dim=-1)
+        temb = self.time_embedding.linear_2(F.silu(self.time_embedding.linear_1(temb)))
+
+        h = self.conv_in(x)
+        skips = [h]
+        for i, db in enumerate(self.down_blocks):
+            for j, r in enumerate(db.resnets):
+                h = r(h, temb)
+                if hasattr(db, "attentions"):
+                    h = db.attentions[j](h)
+                skips.append(h)
+            if hasattr(db, "downsamplers"):
+                h = db.downsamplers[0].conv(h)
+                skips.append(h)
+        h = self.mid_block.resnets[0](h, temb)
+        h = self.mid_block.attentions[0](h)
+        h = self.mid_block.resnets[1](h, temb)
+        for i, ub in enumerate(self.up_blocks):
+            for j, r in enumerate(ub.resnets):
+                h = torch.cat([h, skips.pop()], dim=1)
+                h = r(h, temb)
+                if hasattr(ub, "attentions"):
+                    h = ub.attentions[j](h)
+            if hasattr(ub, "upsamplers"):
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = ub.upsamplers[0].conv(h)
+        h = self.conv_out(F.silu(self.conv_norm_out(h)))
+        return h
+
+
+def test_full_unet_parity():
+    """Converted weights + NCHW inputs: full forward must match torch."""
+    cfg = UNet2DConfig(
+        in_channels=3, out_channels=6, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        attention_head_dim=4, norm_num_groups=4,
+    )
+    m = UNet2D(cfg)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([0.25, 0.9], np.float32)
+    params = m.init(jax.random.PRNGKey(5), jnp.asarray(x), jnp.asarray(t))
+    out = m.apply(params, jnp.asarray(x), jnp.asarray(t))
+
+    tm = _load(TMiniUNet(), params["params"])
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), torch.from_numpy(t))
+    _cmp(out, want, rtol=5e-4, atol=5e-4)
