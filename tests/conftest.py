@@ -15,7 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# BNDM_TPU_TESTS=1 leaves the real TPU backend active so the TPU-only kernel
+# tests (test_fused_noise_tpu.py) can run; everything else is hermetic CPU.
+if os.environ.get("BNDM_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
