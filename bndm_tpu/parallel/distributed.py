@@ -34,6 +34,59 @@ def global_mesh(axis_name="data"):
     return Mesh(np.asarray(jax.devices()), (axis_name,))
 
 
+def _devices_by_slice(devices):
+    """Group devices by their TPU slice_index (multi-slice jobs expose it);
+    returns None when the attribute is absent (CPU/GPU or single slice)."""
+    ids = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is None for i in ids) or len(set(ids)) <= 1:
+        return None
+    groups = {}
+    for d, i in zip(devices, ids):
+        groups.setdefault(i, []).append(d)
+    sizes = {len(v) for v in groups.values()}
+    if len(sizes) != 1:
+        return None  # ragged slices — fall back to an even split
+    return [groups[i] for i in sorted(groups)]
+
+
+def hybrid_mesh(num_slices=None, dcn_axis="replica", ici_axis="data", devices=None):
+    """2-D mesh for multi-slice TPU jobs: (dcn_axis over slices, ici_axis
+    within a slice).
+
+    The reference never scales past one node (NCCL DDP on a single machine,
+    ddim_diffusers.py:295-301); this is the TPU-native story for going
+    further: collectives along ``ici_axis`` ride the fast intra-slice ICI,
+    while only the (much smaller, hierarchically-reduced) cross-slice
+    gradient sum crosses DCN. Data-parallel use: shard the batch over BOTH
+    axes — ``PartitionSpec((dcn_axis, ici_axis))`` — and replicate params;
+    XLA lowers the gradient all-reduce to reduce-scatter/all-gather on ICI
+    plus a per-shard all-reduce on DCN.
+
+    On real multi-slice TPU the grouping comes from each device's
+    ``slice_index``; elsewhere (CPU test meshes, single slice) pass
+    ``num_slices`` to split the device list evenly — the collective layout
+    is identical, which is what the 8-virtual-device tests validate.
+    """
+    if devices is None:
+        devices = jax.devices()
+    groups = _devices_by_slice(devices)
+    if groups is None:
+        if num_slices is None:
+            num_slices = 1
+        if len(devices) % num_slices != 0:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {num_slices} slices"
+            )
+        per = len(devices) // num_slices
+        groups = [devices[i * per : (i + 1) * per] for i in range(num_slices)]
+    elif num_slices is not None and num_slices != len(groups):
+        raise ValueError(
+            f"num_slices={num_slices} but topology reports {len(groups)} slices"
+        )
+    arr = np.asarray(groups, dtype=object)
+    return Mesh(arr, (dcn_axis, ici_axis))
+
+
 def host_shard_info():
     """(shard_index, shard_count) for per-host data loading."""
     return jax.process_index(), jax.process_count()

@@ -34,14 +34,21 @@ def auto_mesh(batch_size, axis_name="data"):
     return make_mesh(n, axis_name)
 
 
+def _batch_axes(mesh, axis_name):
+    """axis_name=None -> shard the batch over ALL mesh axes (e.g. the
+    ('replica', 'data') hybrid DCN x ICI mesh from
+    ``parallel.distributed.hybrid_mesh``)."""
+    return tuple(mesh.axis_names) if axis_name is None else axis_name
+
+
 def data_parallel_sharding(mesh, axis_name="data"):
     """(batch_sharding, replicated_sharding) for the mesh."""
-    return NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(_batch_axes(mesh, axis_name))), NamedSharding(mesh, P())
 
 
 def shard_batch(mesh, batch, axis_name="data"):
     """Place a host array sharded along its leading (batch) axis."""
-    sh = NamedSharding(mesh, P(axis_name))
+    sh = NamedSharding(mesh, P(_batch_axes(mesh, axis_name)))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

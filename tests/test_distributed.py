@@ -93,3 +93,75 @@ def test_sharded_sampling(L):
         model.apply, replicate(mesh, params), shard_batch(mesh, x0), nb_steps=8, two_head=True
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) hybrid mesh: 2 virtual "slices" x 4 devices. The
+# reference never scales past one node; this validates the TPU-native
+# cross-slice story — batch sharded over BOTH mesh axes, params replicated,
+# hierarchical (ICI + DCN) gradient all-reduce inserted by XLA.
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_mesh_construction():
+    from bndm_tpu.parallel.distributed import hybrid_mesh
+
+    mesh = hybrid_mesh(num_slices=2)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        hybrid_mesh(num_slices=3)  # 8 devices don't split into 3 slices
+
+
+def test_hybrid_mesh_groups_by_slice_index():
+    """On real multi-slice TPU, grouping comes from device.slice_index —
+    simulated here with stand-in objects (Mesh construction itself needs
+    real devices, so only the grouping helper is exercised)."""
+    from bndm_tpu.parallel.distributed import _devices_by_slice
+
+    class D:
+        def __init__(self, i, slice_index):
+            self.id = i
+            self.slice_index = slice_index
+
+    devs = [D(i, slice_index=i % 2) for i in range(8)]  # interleaved slices
+    groups = _devices_by_slice(devs)
+    assert [len(g) for g in groups] == [4, 4]
+    assert all(d.slice_index == si for si, g in enumerate(groups) for d in g)
+    # single slice / no attribute -> None (caller falls back to even split)
+    assert _devices_by_slice([D(i, 0) for i in range(4)]) is None
+    assert _devices_by_slice([object()] * 4) is None
+
+
+def test_hybrid_sharded_step_matches_unsharded(L):
+    """Gradient parity: batch sharded over the 2-D (replica, data) mesh must
+    reproduce the unsharded loss/gradients, same criterion as the 1-D test."""
+    from bndm_tpu.parallel.distributed import hybrid_mesh
+
+    mesh = hybrid_mesh(num_slices=2)
+    cfg = TrainConfig(nb_steps=100, noise_type="gaussianBN", scheduler_gamma="sigmoid",
+                      gamma_defaults=(0.2, 0.0, 3.0), out_channel=6)
+    model = UNet2D(TINY)
+    tr = PixelTrainer(model, cfg, L, jax.random.PRNGKey(0))
+    batch = jnp.asarray(
+        np.random.default_rng(3).uniform(0.2, 0.8, (16, 3, 64, 64)).astype(np.float32)
+    )
+    x1 = batch * 2.0 - 1.0
+    t = jnp.linspace(1.0, 100.0, 16)
+    nkey = jax.random.PRNGKey(5)
+
+    grad_fn = jax.jit(jax.value_and_grad(tr.train_step.loss_fn, argnums=(0, 1), has_aux=True))
+    (loss1, _), (g1, gs1) = grad_fn(tr.state.params, tr.state.sched_params, x1, t, nkey)
+
+    params_r = replicate(mesh, tr.state.params)
+    (loss2, _), (g2, gs2) = grad_fn(
+        params_r, tr.state.sched_params,
+        shard_batch(mesh, x1, axis_name=None), shard_batch(mesh, t, axis_name=None), nkey,
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    norm1 = float(optax_global_norm(g1))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        diff = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert diff < 1e-4 * max(norm1, 1.0), diff
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), rtol=1e-3, atol=1e-5)
