@@ -79,6 +79,10 @@ def parse_args(argv=None):
                    help="'fused': TPU Pallas RNG+matmul+mix kernel for training noise")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet activations (bigger batches per chip)")
+    p.add_argument("--conv_int8", action="store_true",
+                   help="EXPERIMENTAL: run UNet convs W8A8 on the int8 MXU "
+                        "(2x bf16 peak on v5e); sampling/eval use — sample "
+                        "quality not yet validated against the paper figures")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
@@ -106,11 +110,12 @@ def build(opt):
             down_block_types=("DownBlock2D", "AttnDownBlock2D"),
             up_block_types=("AttnUpBlock2D", "UpBlock2D"),
             attention_head_dim=4, norm_num_groups=4,
-            act_fn=opt.activation, dtype=opt.compute_dtype,
+            act_fn=opt.activation, dtype=opt.compute_dtype, conv_int8=opt.conv_int8,
         )
     else:
         mcfg = unet_config_for_res(opt.res, in_channels=in_ch, out_channels=opt.out_channel,
-                                   act_fn=opt.activation, dtype=opt.compute_dtype)
+                                   act_fn=opt.activation, dtype=opt.compute_dtype,
+                                   conv_int8=opt.conv_int8)
     model = UNet2D(mcfg)
     tcfg = TrainConfig(
         nb_steps=opt.nb_steps,

@@ -66,6 +66,8 @@ class UNet2DConfig:
     dtype: str = "float32"  # compute dtype ("bfloat16" on TPU for speed)
     norm_dtype: str = "float32"  # GroupNorm compute dtype (fp32 = diffusers parity)
     fused_groupnorm: bool = False  # Pallas single-pass GroupNorm(+SiLU) kernel
+    conv_int8: bool = False  # EXPERIMENTAL W8A8 convs (int8 MXU = 2x bf16 on v5e);
+    # conv_out stays fp32 for output fidelity; see ops/int8.py
 
     @property
     def compute_dtype(self):
@@ -77,7 +79,7 @@ class UNet2DConfig:
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
-                        norm_dtype="float32", fused_groupnorm=False):
+                        norm_dtype="float32", fused_groupnorm=False, conv_int8=False):
     """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
 
     res 64:  6 blocks (128,128,256,256,512,512), attn 5th down / 2nd up
@@ -115,6 +117,7 @@ def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype
         dtype=dtype,
         norm_dtype=norm_dtype,
         fused_groupnorm=fused_groupnorm,
+        conv_int8=conv_int8,
     )
 
 
@@ -152,6 +155,17 @@ class FusedGroupNorm(nn.Module):
         return fused_group_norm(x, scale, bias, self.groups, self.eps, self.act)
 
 
+def _conv(int8, features, kernel_size=(3, 3), strides=(1, 1), padding=1,
+          dtype=jnp.float32, name=None):
+    """nn.Conv, or the experimental W8A8 Int8Conv (identical param tree)."""
+    if int8:
+        from bndm_tpu.ops.int8 import Int8Conv
+
+        return Int8Conv(features, kernel_size, strides, padding, dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=dtype, name=name)
+
+
 class TimestepEmbedding(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
@@ -173,6 +187,7 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
     fused_gn: bool = False
+    int8: bool = False
 
     def _norm_act(self, x, name):
         act = ACT[self.act_fn]
@@ -190,7 +205,7 @@ class ResnetBlock2D(nn.Module):
         act = ACT[self.act_fn]
         in_channels = x.shape[-1]
         h = self._norm_act(x, "norm1")
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv1")(h)
         if temb is not None:  # VAE resnets have no time conditioning
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 act(temb).astype(self.dtype)
@@ -199,9 +214,10 @@ class ResnetBlock2D(nn.Module):
         h = self._norm_act(h, "norm2")
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = _conv(self.int8, self.out_channels, (1, 1), padding=0,
+                      dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -249,24 +265,25 @@ class AttentionBlock(nn.Module):
 class Downsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         # conv stride 2, padding 1 (diffusers Downsample2D with use_conv=True)
-        return nn.Conv(
-            self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
-        )(x)
+        return _conv(self.int8, self.out_channels, strides=(2, 2),
+                     dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class DownBlock2D(nn.Module):
@@ -284,7 +301,7 @@ class DownBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
-                name=f"resnets_{i}",
+                cfg.conv_int8, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
@@ -294,7 +311,8 @@ class DownBlock2D(nn.Module):
                 )(x)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, cfg.compute_dtype, name="downsamplers_0")(x)
+            x = Downsample2D(self.out_channels, cfg.compute_dtype, cfg.conv_int8,
+                             name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
 
@@ -315,7 +333,7 @@ class UpBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
-                name=f"resnets_{i}",
+                cfg.conv_int8, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
@@ -324,7 +342,8 @@ class UpBlock2D(nn.Module):
                     name=f"attentions_{i}",
                 )(x)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, cfg.compute_dtype, name="upsamplers_0")(x)
+            x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.conv_int8,
+                           name="upsamplers_0")(x)
         return x
 
 
@@ -337,7 +356,7 @@ class UNetMidBlock2D(nn.Module):
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="resnets_0",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.conv_int8, name="resnets_0",
         )(x, temb, deterministic)
         if cfg.add_attention:
             x = AttentionBlock(
@@ -346,7 +365,7 @@ class UNetMidBlock2D(nn.Module):
             )(x)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="resnets_1",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.conv_int8, name="resnets_1",
         )(x, temb, deterministic)
         return x
 
@@ -372,7 +391,7 @@ class UNet2D(nn.Module):
             cfg.block_out_channels[0] * 4, dtype=dt, name="time_embedding"
         )(temb)
 
-        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        h = _conv(cfg.conv_int8, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
 
         skips = [h]
         n = len(cfg.block_out_channels)

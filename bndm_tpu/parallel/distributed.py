@@ -49,7 +49,8 @@ def _devices_by_slice(devices):
     return [groups[i] for i in sorted(groups)]
 
 
-def hybrid_mesh(num_slices=None, dcn_axis="replica", ici_axis="data", devices=None):
+def hybrid_mesh(num_slices=None, dcn_axis="replica", ici_axis="data", devices=None,
+                groups=None):
     """2-D mesh for multi-slice TPU jobs: (dcn_axis over slices, ici_axis
     within a slice).
 
@@ -67,9 +68,15 @@ def hybrid_mesh(num_slices=None, dcn_axis="replica", ici_axis="data", devices=No
     ``num_slices`` to split the device list evenly — the collective layout
     is identical, which is what the 8-virtual-device tests validate.
     """
+    if groups is not None:
+        if len({len(g) for g in groups}) != 1:
+            raise ValueError("groups must be equally sized")
+        num_slices = None  # caller-specified grouping wins
+        devices = [d for g in groups for d in g]
     if devices is None:
         devices = jax.devices()
-    groups = _devices_by_slice(devices)
+    if groups is None:
+        groups = _devices_by_slice(devices)
     if groups is None:
         if num_slices is None:
             num_slices = 1
@@ -83,7 +90,9 @@ def hybrid_mesh(num_slices=None, dcn_axis="replica", ici_axis="data", devices=No
         raise ValueError(
             f"num_slices={num_slices} but topology reports {len(groups)} slices"
         )
-    arr = np.asarray(groups, dtype=object)
+    arr = np.empty((len(groups), len(groups[0])), dtype=object)
+    for i, g in enumerate(groups):
+        arr[i, :] = g
     return Mesh(arr, (dcn_axis, ici_axis))
 
 

@@ -27,26 +27,43 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
 
 
 def auto_mesh(batch_size, axis_name="data"):
-    """Mesh over the largest device count that divides the batch size."""
-    n = len(jax.devices())
+    """Mesh over the largest device count that divides the batch size.
+
+    On a multi-slice TPU job (devices report distinct ``slice_index``) this
+    returns the hybrid 2-D (replica=DCN, data=ICI) mesh instead, shrinking
+    the per-slice device count until slices x per_slice divides the batch —
+    slices are kept whole so cross-slice traffic stays a pure DCN all-reduce.
+    """
+    from bndm_tpu.parallel.distributed import _devices_by_slice, hybrid_mesh
+
+    devices = jax.devices()
+    groups = _devices_by_slice(devices)
+    if groups is not None:
+        s, per = len(groups), len(groups[0])
+        while per > 1 and batch_size % (s * per) != 0:
+            per -= 1
+        if batch_size % (s * per) == 0:
+            return hybrid_mesh(groups=[g[:per] for g in groups])
+        # batch doesn't even split across slices — fall back to 1-D below
+    n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
     return make_mesh(n, axis_name)
 
 
 def _batch_axes(mesh, axis_name):
-    """axis_name=None -> shard the batch over ALL mesh axes (e.g. the
-    ('replica', 'data') hybrid DCN x ICI mesh from
-    ``parallel.distributed.hybrid_mesh``)."""
+    """axis_name=None (the default) -> shard the batch over ALL mesh axes, so
+    the same call sites work for the 1-D ('data',) mesh and the hybrid
+    ('replica', 'data') DCN x ICI mesh from ``parallel.distributed.hybrid_mesh``."""
     return tuple(mesh.axis_names) if axis_name is None else axis_name
 
 
-def data_parallel_sharding(mesh, axis_name="data"):
+def data_parallel_sharding(mesh, axis_name=None):
     """(batch_sharding, replicated_sharding) for the mesh."""
     return NamedSharding(mesh, P(_batch_axes(mesh, axis_name))), NamedSharding(mesh, P())
 
 
-def shard_batch(mesh, batch, axis_name="data"):
+def shard_batch(mesh, batch, axis_name=None):
     """Place a host array sharded along its leading (batch) axis."""
     sh = NamedSharding(mesh, P(_batch_axes(mesh, axis_name)))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

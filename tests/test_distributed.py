@@ -165,3 +165,30 @@ def test_hybrid_sharded_step_matches_unsharded(L):
         diff = np.abs(np.asarray(a) - np.asarray(b)).max()
         assert diff < 1e-4 * max(norm1, 1.0), diff
     np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), rtol=1e-3, atol=1e-5)
+
+
+def test_auto_mesh_multislice(monkeypatch):
+    """auto_mesh returns the hybrid mesh on multi-slice topologies, keeping
+    slices whole and trimming per-slice devices to divide the batch."""
+    from bndm_tpu.parallel import distributed, mesh as mesh_mod
+
+    devs = jax.devices()
+
+    def fake_groups(devices):
+        return [list(devices[:4]), list(devices[4:8])]
+
+    monkeypatch.setattr(distributed, "_devices_by_slice", fake_groups)
+
+    m = mesh_mod.auto_mesh(16)
+    assert m.axis_names == ("replica", "data") and m.devices.shape == (2, 4)
+    # batch 12: 12 % 8 != 0 -> trim per-slice to 3 -> 2x3 mesh
+    m = mesh_mod.auto_mesh(12)
+    assert m.devices.shape == (2, 3)
+    # batch 3: cannot split across 2 whole slices -> 1-D fallback
+    m = mesh_mod.auto_mesh(3)
+    assert m.axis_names == ("data",) and m.devices.shape == (3,)
+    # the sharding helpers' new default (all axes) covers both mesh kinds
+    x = shard_batch(mesh_mod.auto_mesh(16), jnp.ones((16, 2)))
+    assert x.sharding.spec[0] == ("replica", "data")
+    x = shard_batch(make_mesh(8), jnp.ones((16, 2)))
+    assert x.sharding.spec[0] in ("data", ("data",))
