@@ -28,12 +28,15 @@ def model_config(args):
             down_block_types=("DownBlock2D", "AttnDownBlock2D"),
             up_block_types=("AttnUpBlock2D", "UpBlock2D"),
             attention_head_dim=4, norm_num_groups=4, dtype=args.compute_dtype,
+            conv_int8=args.conv_int8,
         )
     if args.resolution in (64, 128):
-        return unet_config_for_res(args.resolution, 3, 3, dtype=args.compute_dtype)
+        return unet_config_for_res(args.resolution, 3, 3, dtype=args.compute_dtype,
+                                   conv_int8=args.conv_int8)
     if args.resolution == 256:
         # ddim's res-256 config is the 7-block layout (ddim_diffusers.py:428-453)
-        cfg = unet_config_for_res(128, 3, 3, dtype=args.compute_dtype)
+        cfg = unet_config_for_res(128, 3, 3, dtype=args.compute_dtype,
+                                  conv_int8=args.conv_int8)
         return cfg
     raise NotImplementedError(f"resolution {args.resolution}")
 

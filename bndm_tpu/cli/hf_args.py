@@ -77,6 +77,8 @@ def build_parser():
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--tiny_model", action="store_true")
+    p.add_argument("--conv_int8", action="store_true",
+                   help="EXPERIMENTAL W8A8 UNet convs (int8 MXU); see ops/int8.py")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
     return p

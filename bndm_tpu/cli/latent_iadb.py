@@ -29,14 +29,18 @@ def latent_unet_config(args, out_channels):
             down_block_types=("DownBlock2D", "AttnDownBlock2D"),
             up_block_types=("AttnUpBlock2D", "UpBlock2D"),
             attention_head_dim=4, norm_num_groups=4, dtype=args.compute_dtype,
+            conv_int8=args.conv_int8,
         )
     # reference latent_...:337-359: config keyed on PIXEL resolution
     if args.resolution in (64, 512):
-        return unet_config_for_res(64, 4, out_channels, dtype=args.compute_dtype)
+        return unet_config_for_res(64, 4, out_channels, dtype=args.compute_dtype,
+                                   conv_int8=args.conv_int8)
     if args.resolution == 128:
-        return unet_config_for_res(128, 4, out_channels, dtype=args.compute_dtype)
+        return unet_config_for_res(128, 4, out_channels, dtype=args.compute_dtype,
+                                   conv_int8=args.conv_int8)
     if args.resolution == 256:
-        return unet_config_for_res("latent32", 4, out_channels, dtype=args.compute_dtype)
+        return unet_config_for_res("latent32", 4, out_channels, dtype=args.compute_dtype,
+                                   conv_int8=args.conv_int8)
     raise NotImplementedError(f"resolution {args.resolution}")
 
 
