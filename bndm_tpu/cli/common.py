@@ -80,6 +80,49 @@ def load_params(path):
     return tree
 
 
+def load_pixel_unet_params(out_dir):
+    """Weight resolution for the pixel CLI's test/resume paths: bndm-tpu's own
+    ``model.npz`` first, else the reference's torch ``model.ckpt`` at the same
+    path (iadb_bn.py:714) through the converter — so published checkpoints run
+    unchanged through the flag-compatible CLI."""
+    npz = os.path.join(out_dir, "model.npz")
+    if os.path.exists(npz):
+        return load_params(npz)
+    ckpt = os.path.join(out_dir, "model.ckpt")
+    if os.path.exists(ckpt):
+        from bndm_tpu.models.convert import load_reference_unet
+
+        print(f"loading reference torch checkpoint: {ckpt}")
+        return load_reference_unet(ckpt)
+    raise FileNotFoundError(f"no model.npz or model.ckpt in {out_dir}")
+
+
+def load_tree_unet_params(out_dir):
+    """Weight resolution for the diffusers-tree pipelines (ddim/latent):
+    ``unet/model.npz`` first, else the ``save_pretrained`` tree
+    (config.json + diffusion_pytorch_model.safetensors/.bin), mirroring
+    ``UNet2DModel.from_pretrained(output_dir+"/unet")``
+    (ddim_diffusers.py:642). Returns (params, UNet2DConfig|None) — the config
+    comes from unet/config.json when present so the published architecture
+    wins over CLI flags."""
+    unet_dir = os.path.join(out_dir, "unet")
+    cfg = None
+    cfg_path = os.path.join(unet_dir, "config.json")
+    if os.path.exists(cfg_path):
+        from bndm_tpu.models.convert import unet_config_from_diffusers
+
+        with open(cfg_path) as f:
+            cfg = unet_config_from_diffusers(json.load(f))
+    npz = os.path.join(unet_dir, "model.npz")
+    if os.path.exists(npz):
+        return load_params(npz), cfg
+    from bndm_tpu.models.convert import load_pretrained_unet
+
+    print(f"loading diffusers save_pretrained tree: {unet_dir}")
+    params, tree_cfg = load_pretrained_unet(unet_dir)
+    return params, (tree_cfg or cfg)
+
+
 def save_image_grid(arr_nchw, path):
     from PIL import Image
 

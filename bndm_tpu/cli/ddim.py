@@ -119,10 +119,22 @@ def run_train(args):
             logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
         print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.5f}")
         if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
-            save_params(os.path.join(out_dir, "unet", "model.npz"), state.params)
+            # with --use_ema the reference copies the EMA params into the saved
+            # unet/ before save_pretrained (ddim_diffusers.py:869-885), so eval
+            # sees EMA weights; raw weights stay in the Orbax checkpoints
+            eval_params = state.ema.params if state.ema is not None else state.params
+            save_params(os.path.join(out_dir, "unet", "model.npz"), eval_params)
             if state.ema is not None:
                 save_params(os.path.join(out_dir, "unet_ema", "model.npz"),
                             state.ema.params)
+            from bndm_tpu.models.convert import (ddim_scheduler_config,
+                                                 export_pipeline_tree)
+
+            export_pipeline_tree(
+                out_dir, jax.device_get(eval_params), model.cfg, args.resolution,
+                ddim_scheduler_config(args.ddpm_num_steps, args.ddpm_beta_schedule,
+                                      args.prediction_type),
+                pipeline_class="DDIMPipeline")
             np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
             save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
         if args.max_steps and step >= args.max_steps:
@@ -138,7 +150,7 @@ def run_test(args):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_params, save_image_grid
+    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
@@ -146,13 +158,29 @@ def run_test(args):
     out_dir = out_dir_for(args)
     for sub in ("images", "seqs"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
-    model = UNet2D(model_config(args))
-    params = load_params(os.path.join(out_dir, "unet", "model.npz"))
-    scheduler = DDIMScheduler(
-        num_train_timesteps=args.ddpm_num_steps,
-        beta_schedule=args.ddpm_beta_schedule,
-        prediction_type=args.prediction_type,
-    )
+    # from_pretrained semantics (ddim_diffusers.py:640-643): the published
+    # tree's config.json/scheduler_config.json win over CLI flags
+    params, tree_cfg = load_tree_unet_params(out_dir)
+    if tree_cfg is not None and not args.tiny_model:
+        import dataclasses
+
+        cfg = dataclasses.replace(tree_cfg, dtype=args.compute_dtype,
+                                  conv_int8=args.conv_int8)
+    else:
+        cfg = model_config(args)
+    model = UNet2D(cfg)
+    sched_cfg_path = os.path.join(out_dir, "scheduler", "scheduler_config.json")
+    if os.path.exists(sched_cfg_path):
+        import json
+
+        with open(sched_cfg_path) as f:
+            scheduler = DDIMScheduler.from_config(json.load(f))
+    else:
+        scheduler = DDIMScheduler(
+            num_train_timesteps=args.ddpm_num_steps,
+            beta_schedule=args.ddpm_beta_schedule,
+            prediction_type=args.prediction_type,
+        )
 
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)
@@ -177,6 +205,7 @@ def run_test(args):
         )
         if os.path.exists(noise_path):
             x0 = jnp.asarray(np.load(noise_path)["noise"], jnp.float32)
+            x0 = x0[0:1]  # "replicability, only one sample" (ddim_diffusers.py:670)
         else:
             x0 = jax.random.normal(
                 jax.random.fold_in(key, i),

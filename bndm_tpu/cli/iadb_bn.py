@@ -75,6 +75,10 @@ def parse_args(argv=None):
                    help="save each batch's initial noise as noise_batch{B}_idx{i}.npz "
                         "(the reference's replicability artifacts, iadb_bn.py:781-783) "
                         "so DDIM/BNDM runs can consume identical x0")
+    p.add_argument("--export_reference_ckpt", action="store_true",
+                   help="also write a torch model.ckpt each epoch (the "
+                        "reference's format, iadb_bn.py:1028) for ecosystem "
+                        "round-trips")
     p.add_argument("--noise_engine", type=str, default="xla", choices=["xla", "fused"],
                    help="'fused': TPU Pallas RNG+matmul+mix kernel for training noise")
     p.add_argument("--remat", action="store_true",
@@ -143,7 +147,7 @@ def run_train(opt):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_params, save_params
+    from bndm_tpu.cli.common import save_params
     from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.train.pixel import PixelTrainer
@@ -173,11 +177,16 @@ def run_train(opt):
             trainer.state = restored
             start_step = int(np.asarray(restored.step))
             print(f"resumed full state at step {start_step}")
-        elif os.path.exists(os.path.join(out_dir, "model.npz")):
-            trainer.state = trainer.state._replace(
-                params=load_params(os.path.join(out_dir, "model.npz"))
-            )
-            print("resumed weights only (reference-style)")
+        else:
+            try:
+                from bndm_tpu.cli.common import load_pixel_unet_params
+
+                trainer.state = trainer.state._replace(
+                    params=load_pixel_unet_params(out_dir))
+                print("resumed weights only (reference-style, "
+                      "model.npz or torch model.ckpt)")
+            except FileNotFoundError:
+                pass
 
     mesh = auto_mesh(opt.batch_size)
     trainer.state = replicate(mesh, trainer.state)
@@ -214,6 +223,13 @@ def run_train(opt):
         save_sched_param_curves(*sp_hist, os.path.join(out_dir, "scheduler_params.png"))
         save_params(os.path.join(out_dir, "model.npz"), trainer.state.params)
         mgr.save(step, trainer.state)
+        if opt.export_reference_ckpt:
+            # torch state_dict at the reference's path/format (iadb_bn.py:1028)
+            # so bndm-tpu-trained models load in the reference ecosystem
+            from bndm_tpu.models.convert import export_torch_ckpt
+
+            export_torch_ckpt(jax.device_get(trainer.state.params),
+                              os.path.join(out_dir, "model.ckpt"))
         if opt.max_steps and step >= opt.max_steps:
             break
     mgr.wait()
@@ -226,7 +242,7 @@ def run_test(opt):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_params, noise_folder_name, save_image_grid
+    from bndm_tpu.cli.common import load_pixel_unet_params, noise_folder_name, save_image_grid
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.iadb import sample_iadb
 
@@ -237,7 +253,7 @@ def run_test(opt):
     for sub in ("images", "seqs", "noise"):
         os.makedirs(os.path.join(out_dir, fname, sub), exist_ok=True)
 
-    params = load_params(os.path.join(out_dir, "model.npz"))
+    params = load_pixel_unet_params(out_dir)
     if opt.optimize_scheduler_param:
         sp = np.loadtxt(os.path.join(out_dir, "scheduler_params.txt")).astype(np.float32)
     else:
@@ -284,6 +300,13 @@ def run_test(opt):
                 os.path.join(out_dir, fname, "noise",
                              f"noise_batch{bs}_idx{i:05d}.npz"),
                 noise=np.asarray(x0))
+
+        if replicability_batches is not None and not opt.save_all_samples:
+            # reference slices to ONE sample in replicability mode
+            # (iadb_bn.py:766 "replicability, only one sample") — avoid
+            # denoising the full 500-image batch to reproduce a single figure
+            x0 = x0[0:1]
+            bs = 1
 
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
@@ -332,7 +355,7 @@ def run_superres_test(opt):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_params, noise_folder_name, save_image_grid
+    from bndm_tpu.cli.common import load_pixel_unet_params, noise_folder_name, save_image_grid
     from bndm_tpu.data.imagefolder import ImageFolderDataset
     from bndm_tpu.ops.noise import get_noise
     from bndm_tpu.ops.schedules import gamma_schedule
@@ -346,7 +369,7 @@ def run_superres_test(opt):
     for sub in ("images", "seqs", "lowres", "highres"):
         os.makedirs(os.path.join(out_dir, fname, sub), exist_ok=True)
 
-    params = load_params(os.path.join(out_dir, "model.npz"))
+    params = load_pixel_unet_params(out_dir)
     if opt.optimize_scheduler_param:
         sp = np.loadtxt(os.path.join(out_dir, "scheduler_params.txt")).astype(np.float32)
     else:

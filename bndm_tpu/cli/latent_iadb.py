@@ -183,9 +183,19 @@ def run_train(args):
             logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
         print(f"epoch {epoch}: mean loss {np.mean(losses[-nb:]):.2f}")
         if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
-            save_params(os.path.join(out_dir, "unet", "model.npz"), state.params)
+            # EMA-at-eval parity: reference copies EMA params into the saved
+            # unet/ before IADBPipeline.save_pretrained (latent_...:680-688)
+            eval_params = state.ema.params if state.ema is not None else state.params
+            save_params(os.path.join(out_dir, "unet", "model.npz"), eval_params)
             if state.ema is not None:
                 save_params(os.path.join(out_dir, "unet_ema", "model.npz"), state.ema.params)
+            from bndm_tpu.models.convert import (export_pipeline_tree,
+                                                 iadb_scheduler_config)
+
+            export_pipeline_tree(
+                out_dir, jax.device_get(eval_params), model.cfg, lat_res,
+                iadb_scheduler_config(args.ddpm_num_steps),
+                pipeline_class="IADBPipeline")
             np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
             save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
         if args.max_steps and step >= args.max_steps:
@@ -201,7 +211,7 @@ def run_test(args):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_params, save_image_grid
+    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.models.vae import AutoencoderKL
     from bndm_tpu.samplers.iadb import sample_iadb
@@ -213,8 +223,19 @@ def run_test(args):
     out_channels = args.out_channels
     if args.noise_type in ("gaussianBN", "gaussianRN"):
         out_channels *= 2
-    model = UNet2D(latent_unet_config(args, out_channels))
-    params = load_params(os.path.join(out_dir, "unet", "model.npz"))
+    # from_pretrained semantics: a published save_pretrained tree (unet/
+    # config.json + safetensors) loads unchanged; unet/model.npz stays the
+    # fast path for bndm-tpu-trained runs
+    params, tree_cfg = load_tree_unet_params(out_dir)
+    if tree_cfg is not None and not args.tiny_model:
+        import dataclasses
+
+        cfg = dataclasses.replace(tree_cfg, dtype=args.compute_dtype,
+                                  conv_int8=args.conv_int8)
+        out_channels = cfg.out_channels
+    else:
+        cfg = latent_unet_config(args, out_channels)
+    model = UNet2D(cfg)
     vae, vae_params = get_vae(args)
     two_head = args.noise_type in ("gaussianBN", "gaussianRN") and out_channels == 8
 

@@ -68,6 +68,12 @@ class UNet2DConfig:
     fused_groupnorm: bool = False  # Pallas single-pass GroupNorm(+SiLU) kernel
     conv_int8: bool = False  # EXPERIMENTAL W8A8 convs (int8 MXU = 2x bf16 on v5e);
     # conv_out stays fp32 for output fidelity; see ops/int8.py
+    int8_mode: str = "dynamic"  # dynamic | calibrate | static (ops/int8.py)
+
+    @property
+    def int8_arg(self):
+        """Value passed to conv sites: False (fp conv) or the int8 mode."""
+        return self.int8_mode if self.conv_int8 else False
 
     @property
     def compute_dtype(self):
@@ -79,7 +85,8 @@ class UNet2DConfig:
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
-                        norm_dtype="float32", fused_groupnorm=False, conv_int8=False):
+                        norm_dtype="float32", fused_groupnorm=False, conv_int8=False,
+                        int8_mode="dynamic"):
     """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
 
     res 64:  6 blocks (128,128,256,256,512,512), attn 5th down / 2nd up
@@ -118,6 +125,7 @@ def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype
         norm_dtype=norm_dtype,
         fused_groupnorm=fused_groupnorm,
         conv_int8=conv_int8,
+        int8_mode=int8_mode,
     )
 
 
@@ -157,11 +165,17 @@ class FusedGroupNorm(nn.Module):
 
 def _conv(int8, features, kernel_size=(3, 3), strides=(1, 1), padding=1,
           dtype=jnp.float32, name=None):
-    """nn.Conv, or the experimental W8A8 Int8Conv (identical param tree)."""
+    """nn.Conv, or the experimental W8A8 Int8Conv (identical param tree).
+
+    ``int8``: False for the fp conv, or an int8 mode string
+    ('dynamic' | 'calibrate' | 'static', see ops/int8.py); True means
+    'dynamic' for backward compatibility."""
     if int8:
         from bndm_tpu.ops.int8 import Int8Conv
 
-        return Int8Conv(features, kernel_size, strides, padding, dtype, name=name)
+        mode = int8 if isinstance(int8, str) else "dynamic"
+        return Int8Conv(features, kernel_size, strides, padding, dtype,
+                        mode=mode, name=name)
     return nn.Conv(features, kernel_size, strides=strides, padding=padding,
                    dtype=dtype, name=name)
 
@@ -301,7 +315,7 @@ class DownBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
-                cfg.conv_int8, name=f"resnets_{i}",
+                cfg.int8_arg, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
@@ -311,7 +325,7 @@ class DownBlock2D(nn.Module):
                 )(x)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, cfg.compute_dtype, cfg.conv_int8,
+            x = Downsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
                              name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
@@ -333,7 +347,7 @@ class UpBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
-                cfg.conv_int8, name=f"resnets_{i}",
+                cfg.int8_arg, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
@@ -342,7 +356,7 @@ class UpBlock2D(nn.Module):
                     name=f"attentions_{i}",
                 )(x)
         if self.add_upsample:
-            x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.conv_int8,
+            x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
                            name="upsamplers_0")(x)
         return x
 
@@ -356,7 +370,7 @@ class UNetMidBlock2D(nn.Module):
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.conv_int8, name="resnets_0",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.int8_arg, name="resnets_0",
         )(x, temb, deterministic)
         if cfg.add_attention:
             x = AttentionBlock(
@@ -365,7 +379,7 @@ class UNetMidBlock2D(nn.Module):
             )(x)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.conv_int8, name="resnets_1",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.int8_arg, name="resnets_1",
         )(x, temb, deterministic)
         return x
 
@@ -391,7 +405,7 @@ class UNet2D(nn.Module):
             cfg.block_out_channels[0] * 4, dtype=dt, name="time_embedding"
         )(temb)
 
-        h = _conv(cfg.conv_int8, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
+        h = _conv(cfg.int8_arg, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
 
         skips = [h]
         n = len(cfg.block_out_channels)

@@ -81,15 +81,91 @@ def _int8_conv_bwd(strides, padding, res, g):
 int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
 
 
+def int8_conv_static(x, w, act_scale, strides=(1, 1), padding=((1, 1), (1, 1))):
+    """W8A8 conv with a CALIBRATED constant activation scale (per-tensor).
+
+    This removes the dynamic path's per-call amax reduction over the
+    activation — the part of r1's int8 overhead that XLA cannot hoist out of
+    the 250-step sampling scan. The remaining activation work (divide, round,
+    clip, cast to int8) is pure elementwise and fuses into the preceding
+    GroupNorm/SiLU chain; the weight quantization is loop-invariant (pure
+    function of the fp32 params) and is hoisted out of the scan by XLA's
+    while-loop LICM. Dequant scale folds into the bias-add epilogue.
+    """
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale), -127, 127).astype(jnp.int8)
+    wq, sw = quantize_symmetric(w.astype(jnp.float32), axes=(0, 1, 2))
+    y = lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (act_scale * sw.reshape(1, 1, 1, -1))
+
+
+def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
+                       alpha_param=0.02, scheduler_gamma="linear",
+                       gamma_params=(1.0, 0.0, 3.0), two_head=False, quant=None):
+    """Populate the static-int8 activation scales by running one exact
+    (fp32-conv) reverse IADB trajectory and recording each conv site's
+    running activation amax.
+
+    ``model`` must be built with ``int8_mode='calibrate'``. The whole
+    trajectory runs as one jitted ``lax.scan`` with the 'quant' collection
+    (a pytree of scalars) as carry — one dispatch, small batch, seconds.
+    Returns the populated 'quant' tree to pass alongside 'params' to the
+    ``int8_mode='static'`` model.
+    """
+    from bndm_tpu.ops.schedules import alpha_schedule, gamma_schedule
+    from bndm_tpu.samplers.iadb import iadb_step
+
+    gamma_params_arr = jnp.asarray(gamma_params, jnp.float32)
+    params = params.get("params", params)
+    if quant is None:
+        quant = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), x0[:1], jnp.zeros((1,)))
+        )["quant"]
+        quant = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), quant)
+
+    @jax.jit
+    def run(x0, quant):
+        def body(carry, t):
+            x, q = carry
+            a_s = alpha_schedule(t + 1.0, nb_steps, scheduler_alpha, alpha_param)
+            a_e = alpha_schedule(t, nb_steps, scheduler_alpha, alpha_param)
+            g_s = gamma_schedule(t + 1.0, nb_steps, scheduler_gamma, gamma_params_arr)
+            g_e = gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params_arr)
+            tt = jnp.broadcast_to(a_s, (x.shape[0],))
+            d, mut = model.apply({"params": params, "quant": q}, x, tt,
+                                 mutable=["quant"])
+            x = iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
+            return (x, mut["quant"]), None
+
+        ts = jnp.arange(nb_steps - 1, -1, -1, dtype=jnp.float32)
+        (_, q), _ = jax.lax.scan(body, (x0, quant), ts)
+        return q
+
+    return jax.device_get(run(x0, quant))
+
+
 class Int8Conv(nn.Module):
     """Drop-in for the UNet's ``nn.Conv`` sites: identical parameter tree
-    (fp32 'kernel' HWIO + 'bias'), int8 execution."""
+    (fp32 'kernel' HWIO + 'bias'), int8 execution.
+
+    Modes:
+      dynamic   — per-call activation amax (r1 behavior; QAT-capable via STE)
+      calibrate — EXACT fp32 conv, while recording the running activation
+                  amax into the 'quant' variable collection
+                  (``apply(..., mutable=["quant"])``)
+      static    — quantize activations with the calibrated constant scale
+                  (read from the 'quant' collection)
+    """
 
     features: int
     kernel_size: tuple = (3, 3)
     strides: tuple = (1, 1)
     padding: int = 1
     dtype: jnp.dtype = jnp.float32
+    mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x):
@@ -102,5 +178,21 @@ class Int8Conv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         p = self.padding
-        y = int8_conv(x, kernel, self.strides, ((p, p), (p, p)))
+        pads = ((p, p), (p, p))
+        if self.mode == "dynamic":
+            y = int8_conv(x, kernel, self.strides, pads)
+        elif self.mode == "calibrate":
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            if not self.is_initializing():
+                amax.value = jnp.maximum(amax.value,
+                                         jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = _fp32_conv(x.astype(jnp.float32), kernel, self.strides, pads)
+        elif self.mode == "static":
+            amax = self.variable("quant", "act_amax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            scale = jnp.maximum(amax.value, 1e-12) / 127.0
+            y = int8_conv_static(x, kernel, scale, self.strides, pads)
+        else:
+            raise ValueError(f"unknown int8 mode {self.mode!r}")
         return (y + bias).astype(self.dtype)

@@ -69,6 +69,16 @@ class DDIMScheduler:
         self.timesteps = None
         self.timesteps_np = None
 
+    @classmethod
+    def from_config(cls, config: dict):
+        """Build from a diffusers ``scheduler_config.json`` dict (the tree the
+        reference loads via DDIMScheduler.from_pretrained,
+        ddim_diffusers.py:640); unknown keys are ignored like diffusers does."""
+        import inspect
+
+        keys = set(inspect.signature(cls.__init__).parameters) - {"self"}
+        return cls(**{k: v for k, v in config.items() if k in keys})
+
     def set_timesteps(self, num_inference_steps):
         self.num_inference_steps = num_inference_steps
         if self.timestep_spacing == "leading":

@@ -19,7 +19,12 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params):
-    return EmaState(params=jax.tree.map(jnp.asarray, params), step=jnp.int32(0))
+    # real copies, not jnp.asarray: the EMA tree must not alias the live
+    # params — train steps donate the whole state, and donating the same
+    # buffer twice fails partition 0 and deadlocks the gradient all-reduce
+    # on the remaining partitions (XLA "donate the same buffer twice")
+    return EmaState(params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+                    step=jnp.int32(0))
 
 
 def ema_decay(step, max_decay=0.9999, inv_gamma=1.0, power=0.75, use_warmup=True, min_decay=0.0):

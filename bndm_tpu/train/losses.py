@@ -28,7 +28,9 @@ def antithetic_timesteps(key, batch_size, nb_steps, low=1):
     (iadb_bn.py:866-869; the DDIM pipeline uses low=0 with T - t - 1,
     ddim_diffusers.py:746-747 — pass low=0 and ddim=True for that.)
     """
-    half = max(batch_size // 2, 1)
+    # ceil(bs/2): identical to the reference for even bs; for odd bs the
+    # reference's bs//2 would yield bs-1 timesteps and crash on broadcast
+    half = max((batch_size + 1) // 2, 1)
     t = jax.random.randint(key, (half,), low, nb_steps + 1)
     t = jnp.concatenate([t, nb_steps - t + 1])[:batch_size]
     return t
@@ -36,7 +38,7 @@ def antithetic_timesteps(key, batch_size, nb_steps, low=1):
 
 def antithetic_timesteps_ddim(key, batch_size, nb_steps):
     """DDIM variant: t ~ U{0..T-1}, mirror T - t - 1 (ddim_diffusers.py:746)."""
-    half = max(batch_size // 2, 1)
+    half = max((batch_size + 1) // 2, 1)
     t = jax.random.randint(key, (half,), 0, nb_steps)
     t = jnp.concatenate([t, nb_steps - t - 1])[:batch_size]
     return t

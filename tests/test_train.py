@@ -65,6 +65,16 @@ def test_ema_warmup_decay():
     assert 0.0 < float(s.params["w"][0]) <= 1.0
 
 
+def test_ema_init_does_not_alias():
+    """Regression: ema_init must COPY the params. If the EMA tree aliases the
+    live params, a donated train step donates the same buffer twice — XLA
+    fails one partition and the surviving ones deadlock in the gradient
+    all-reduce (hard process abort on the CPU mesh)."""
+    p = {"w": jnp.ones((4,), jnp.float32)}
+    e = ema_init(p)
+    assert e.params["w"].unsafe_buffer_pointer() != p["w"].unsafe_buffer_pointer()
+
+
 def test_train_loss_decreases(L16):
     cfg = TrainConfig(
         nb_steps=100, noise_type="gaussianBN", scheduler_gamma="sigmoid",
