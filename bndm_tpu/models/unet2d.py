@@ -69,6 +69,8 @@ class UNet2DConfig:
     conv_int8: bool = False  # EXPERIMENTAL W8A8 convs (int8 MXU = 2x bf16 on v5e);
     # conv_out stays fp32 for output fidelity; see ops/int8.py
     int8_mode: str = "dynamic"  # dynamic | calibrate | static (ops/int8.py)
+    fast_upsample: bool = True  # subpixel-decomposed upsample conv (exact math,
+    # 4/9 the MACs, no materialized 2x tensor; see _SubpixelUpConv)
 
     @property
     def int8_arg(self):
@@ -288,13 +290,70 @@ class Downsample2D(nn.Module):
                      dtype=self.dtype, name="conv")(x)
 
 
+class _SubpixelUpConv(nn.Module):
+    """nearest-2x upsample + 3x3 conv, computed WITHOUT materializing the 2x
+    tensor: because nearest duplication makes adjacent taps share a source
+    pixel, each of the 4 output phases (i%2, j%2) reduces to a 2x2-kernel conv
+    over the ORIGINAL grid whose taps are sums of the stored 3x3 taps —
+    4/9 the MACs, one MXU conv (features 4*C_out), then a phase interleave.
+
+    Exact math (same sums, regrouped); parameter tree identical to nn.Conv
+    ('kernel' (3,3,Cin,Cout) + 'bias'), so checkpoints/converters are
+    untouched, and the kernel transform is a pure function of params that
+    XLA's while-loop LICM hoists out of the 250-step sampling scan.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, cin = x.shape
+        cout = self.out_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, cout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        # Row/col tap-combination matrices per output phase a in {0,1}:
+        # output row 2m+a reads duplicated rows (2m+a+di)//2, di in {-1,0,1}
+        # -> source rows {m-1: W0, m: W1+W2} (a=0) / {m: W0+W1, m+1: W2} (a=1)
+        comb = jnp.asarray(
+            [[[1, 0, 0], [0, 1, 1]],   # a == 0: (prev, cur)
+             [[1, 1, 0], [0, 0, 1]]],  # a == 1: (cur, next)
+            jnp.float32,
+        )
+        # (a, r, i) x (b, s, j) x (i, j, ci, co) -> (2,2, r, s, ci, co)
+        k2 = jnp.einsum("ari,bsj,ijco->abrsco", comb, comb, kernel)
+        # phase-major output channels: p = 2*a + b
+        k2 = k2.reshape(4, 2, 2, cin, cout).transpose(1, 2, 3, 0, 4)
+        k2 = k2.reshape(2, 2, cin, 4 * cout).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H+1, W+1, 4*Cout); padded index k covers source rows k-1..k
+        y = y.reshape(b, h + 1, w + 1, 4, cout)
+        # phase (a, b) lives at padded offset (a, b): a=0 -> window m-1..m at
+        # k=m (slice 0:h); a=1 -> window m..m+1 at k=m+1 (slice 1:h+1)
+        z = jnp.stack(
+            [jnp.stack([y[:, a:h + a, bb:w + bb, 2 * a + bb] for bb in (0, 1)],
+                       axis=3) for a in (0, 1)],
+            axis=2,
+        )  # (B, H, 2, W, 2, Cout)
+        z = z.reshape(b, 2 * h, 2 * w, cout)
+        return z + bias.astype(self.dtype)
+
+
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     int8: bool = False
+    fast: bool = True
 
     @nn.compact
     def __call__(self, x):
+        # subpixel path only for the fp conv: int8 quantization semantics
+        # differ on the combined 2x2 taps, so int8 keeps the reference path
+        if self.fast and not self.int8:
+            return _SubpixelUpConv(self.out_channels, self.dtype, name="conv")(x)
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv")(x)
@@ -357,7 +416,7 @@ class UpBlock2D(nn.Module):
                 )(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
-                           name="upsamplers_0")(x)
+                           cfg.fast_upsample, name="upsamplers_0")(x)
         return x
 
 

@@ -101,3 +101,33 @@ def test_bf16_compute():
     out = m.apply(p, jnp.ones((1, 3, 16, 16)), jnp.array([0.5]))
     assert out.dtype == jnp.float32  # conv_out runs fp32
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_subpixel_upsample_matches_reference_path():
+    """fast_upsample (2x2 subpixel conv, 4/9 MACs) must be numerically
+    equivalent to the reference nearest-2x + 3x3 conv path — same params."""
+    from bndm_tpu.models.unet2d import Upsample2D
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 7, 8), jnp.float32)
+    slow = Upsample2D(12, fast=False)
+    p = slow.init(jax.random.PRNGKey(4), x)
+    ref = slow.apply(p, x)
+    fast = Upsample2D(12, fast=True).apply(p, x)  # identical param tree
+    assert fast.shape == ref.shape == (2, 10, 14, 12)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_subpixel_upsample_full_unet_equivalence(tiny_model):
+    """Full-UNet outputs are unchanged when the subpixel upsample is enabled
+    (same params: the transform is derived from the stored 3x3 kernel)."""
+    m, params = tiny_model
+    import dataclasses
+
+    m_fast = UNet2D(dataclasses.replace(TINY, fast_upsample=True))
+    m_slow = UNet2D(dataclasses.replace(TINY, fast_upsample=False))
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 32, 32), jnp.float32)
+    t = jnp.array([0.3, 0.8])
+    a = m_fast.apply(params, x, t)
+    b = m_slow.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
