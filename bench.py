@@ -69,8 +69,15 @@ def _bench_sampling(batch=500, steps=250, res=64):
         )
         return out
 
-    # FLOPs of one UNet forward (for the documented 4090 baseline estimate)
-    fwd = jax.jit(lambda p, x: model.apply(p, x, jnp.full((x.shape[0],), 0.5)))
+    # FLOPs of one REFERENCE-equivalent UNet forward for the documented 4090
+    # baseline estimate. Pinned to fast_upsample=False: the baseline is the
+    # reference's torch workload (nearest-2x + full 3x3 convs), and our
+    # FLOP-reducing rewrites must not inflate the estimated 4090 rate.
+    import dataclasses
+
+    ref_cfg = dataclasses.replace(cfg, fast_upsample=False)
+    ref_model = UNet2D(ref_cfg)
+    fwd = jax.jit(lambda p, x: ref_model.apply(p, x, jnp.full((x.shape[0],), 0.5)))
     try:
         cost = fwd.lower(params, x0[:1]).compile().cost_analysis()
         flops_per_image = float(cost.get("flops", 0.0))

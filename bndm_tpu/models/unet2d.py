@@ -28,8 +28,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from bndm_tpu.ops.pallas_groupnorm import fused_group_norm
-
 ACT = {
     "silu": nn.silu,
     "swish": nn.silu,
@@ -65,12 +63,21 @@ class UNet2DConfig:
     dropout: float = 0.0
     dtype: str = "float32"  # compute dtype ("bfloat16" on TPU for speed)
     norm_dtype: str = "float32"  # GroupNorm compute dtype (fp32 = diffusers parity)
-    fused_groupnorm: bool = False  # Pallas single-pass GroupNorm(+SiLU) kernel
+    # NOTE: a Pallas fused-GroupNorm kernel was tried (r1) and DELETED (r2):
+    # measured 5.07 ms vs flax's 4.19 ms per res-64 GN+SiLU pass on v5e, and
+    # Pallas streaming tops out ~215 GB/s r+w vs XLA fusions' ~330
+    # (scripts/bench_elementwise_tpu.py, scripts/bench_pallas_stream.py) —
+    # the pass is HBM-bound, so a kernel that can't out-stream XLA can't win.
     conv_int8: bool = False  # EXPERIMENTAL W8A8 convs (int8 MXU = 2x bf16 on v5e);
     # conv_out stays fp32 for output fidelity; see ops/int8.py
     int8_mode: str = "dynamic"  # dynamic | calibrate | static (ops/int8.py)
-    fast_upsample: bool = True  # subpixel-decomposed upsample conv (exact math,
-    # 4/9 the MACs, no materialized 2x tensor; see _SubpixelUpConv)
+    fast_upsample: bool = False  # subpixel-decomposed upsample conv (exact math,
+    # 4/9 the MACs; see _SubpixelUpConv). MEASURED NET LOSS on the res-64 UNet
+    # at bs=500 on v5e: the phase-interleave relayout copies cost ~9 ms/step
+    # vs ~6 ms of saved conv time (xplane profile, 2026-08-16) — the UNet's
+    # upsample convs are small enough that XLA's conv is already faster than
+    # the extra data movement. Kept opt-in; the VAE decoder (4x larger convs
+    # at 256^2/512^2, MAC-dominated) does use it.
 
     @property
     def int8_arg(self):
@@ -87,7 +94,7 @@ class UNet2DConfig:
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
-                        norm_dtype="float32", fused_groupnorm=False, conv_int8=False,
+                        norm_dtype="float32", conv_int8=False,
                         int8_mode="dynamic"):
     """Per-resolution block layouts of the reference (iadb_bn.py:205-282).
 
@@ -125,7 +132,6 @@ def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype
         act_fn=act_fn,
         dtype=dtype,
         norm_dtype=norm_dtype,
-        fused_groupnorm=fused_groupnorm,
         conv_int8=conv_int8,
         int8_mode=int8_mode,
     )
@@ -147,22 +153,6 @@ def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=True,
     if flip_sin_to_cos:
         return jnp.concatenate([cos, sin], axis=-1)
     return jnp.concatenate([sin, cos], axis=-1)
-
-
-class FusedGroupNorm(nn.Module):
-    """GroupNorm with parameters named like nn.GroupNorm (scale/bias) but
-    executed by the single-pass Pallas kernel, optionally fusing SiLU."""
-
-    groups: int
-    eps: float
-    act: str = None  # "silu" fuses the activation into the kernel
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return fused_group_norm(x, scale, bias, self.groups, self.eps, self.act)
 
 
 def _conv(int8, features, kernel_size=(3, 3), strides=(1, 1), padding=1,
@@ -202,17 +192,10 @@ class ResnetBlock2D(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
-    fused_gn: bool = False
     int8: bool = False
 
     def _norm_act(self, x, name):
         act = ACT[self.act_fn]
-        if self.fused_gn:
-            fused_act = "silu" if self.act_fn in ("silu", "swish") else None
-            h = FusedGroupNorm(self.groups, self.eps, fused_act, name=name)(x)
-            if fused_act is None:
-                h = act(h)
-            return h.astype(self.dtype)
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name=name)(x)
         return act(h).astype(self.dtype)
 
@@ -250,7 +233,6 @@ class AttentionBlock(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
-    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -258,11 +240,8 @@ class AttentionBlock(nn.Module):
         heads = max(1, c // self.head_dim)
         dh = c // heads
         residual = x
-        if self.fused_gn:
-            h = FusedGroupNorm(self.groups, self.eps, None, name="group_norm")(x)
-        else:
-            h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype,
-                             name="group_norm")(x)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype,
+                         name="group_norm")(x)
         h = h.astype(self.dtype).reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -373,13 +352,13 @@ class DownBlock2D(nn.Module):
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
                 cfg.int8_arg, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                    cfg.compute_dtype, cfg.gn_dtype,
                     name=f"attentions_{i}",
                 )(x)
             skips.append(x)
@@ -405,13 +384,13 @@ class UpBlock2D(nn.Module):
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
                 cfg.int8_arg, name=f"resnets_{i}",
             )(x, temb, deterministic)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm,
+                    cfg.compute_dtype, cfg.gn_dtype,
                     name=f"attentions_{i}",
                 )(x)
         if self.add_upsample:
@@ -429,16 +408,16 @@ class UNetMidBlock2D(nn.Module):
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.int8_arg, name="resnets_0",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, name="resnets_0",
         )(x, temb, deterministic)
         if cfg.add_attention:
             x = AttentionBlock(
                 cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, name="attentions_0",
+                cfg.compute_dtype, cfg.gn_dtype, name="attentions_0",
             )(x)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.fused_groupnorm, cfg.int8_arg, name="resnets_1",
+            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, name="resnets_1",
         )(x, temb, deterministic)
         return x
 
@@ -493,16 +472,8 @@ class UNet2D(nn.Module):
                 name=f"up_blocks_{i}",
             )(h, skips, temb, deterministic)
 
-        if cfg.fused_groupnorm:
-            fused_act = "silu" if cfg.act_fn in ("silu", "swish") else None
-            h = FusedGroupNorm(cfg.norm_num_groups, cfg.norm_eps, fused_act,
-                               name="conv_norm_out")(h)
-            if fused_act is None:
-                h = ACT[cfg.act_fn](h)
-            h = h.astype(dt)
-        else:
-            h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
-                             name="conv_norm_out")(h)
-            h = ACT[cfg.act_fn](h).astype(dt)
+        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
+                         name="conv_norm_out")(h)
+        h = ACT[cfg.act_fn](h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW

@@ -126,8 +126,11 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
         )["quant"]
         quant = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), quant)
 
+    # params MUST be a jit argument, not a closure capture: captured params
+    # are baked into the HLO as 450+ MB of constants, which the axon relay's
+    # remote-compile endpoint rejects (HTTP 413 request-size limit)
     @jax.jit
-    def run(x0, quant):
+    def run(params, x0, quant):
         def body(carry, t):
             x, q = carry
             a_s = alpha_schedule(t + 1.0, nb_steps, scheduler_alpha, alpha_param)
@@ -144,7 +147,7 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
         (_, q), _ = jax.lax.scan(body, (x0, quant), ts)
         return q
 
-    return jax.device_get(run(x0, quant))
+    return jax.device_get(run(params, x0, quant))
 
 
 class Int8Conv(nn.Module):
