@@ -215,7 +215,12 @@ class ResnetBlock2D(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = _conv(self.int8, self.out_channels, (1, 1), padding=0,
+            # shortcut stays fp even under conv_int8: quantizing it forces a
+            # SECOND full-size s8 copy of the raw (un-normalized) input next
+            # to the normalized one (r2 int8 profile: dual-s8 quantize passes
+            # of 2x524 MB at res 64), costing more HBM traffic than the tiny
+            # 1x1 conv saves on the MXU
+            x = _conv(False, self.out_channels, (1, 1), padding=0,
                       dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
@@ -363,7 +368,10 @@ class DownBlock2D(nn.Module):
                 )(x)
             skips.append(x)
         if self.add_downsample:
-            x = Downsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
+            # fp even under conv_int8: the strided conv is tiny but its input
+            # quantize would be a separate full-size pass (the bf16 x is also
+            # kept as a skip, so the s8 copy can't replace it)
+            x = Downsample2D(self.out_channels, cfg.compute_dtype, False,
                              name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
@@ -443,7 +451,9 @@ class UNet2D(nn.Module):
             cfg.block_out_channels[0] * 4, dtype=dt, name="time_embedding"
         )(temb)
 
-        h = _conv(cfg.int8_arg, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
+        # conv_in stays fp under conv_int8 (3-channel input: no MXU win, and
+        # the quantize pass would cost more than the conv)
+        h = _conv(False, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
 
         skips = [h]
         n = len(cfg.block_out_channels)

@@ -31,12 +31,26 @@ def run_and_trace(outdir, batch=500, steps=250, res=64):
     from bndm_tpu.samplers.iadb import sample_iadb
 
     _setup_compile_cache()
+    int8 = os.environ.get("PROFILE_INT8") == "1"
     cfg = unet_config_for_res(res, in_channels=3, out_channels=6, dtype="bfloat16",
-                              norm_dtype="bfloat16")
+                              norm_dtype="bfloat16",
+                              conv_int8=int8, int8_mode="static")
     model = UNet2D(cfg)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32), jnp.zeros((1,))
     )
+    if int8:
+        # static scales from a short calibration run (exact fp32 trajectory)
+        from bndm_tpu.ops.int8 import calibrate_sampling
+
+        m_cal = UNet2D(unet_config_for_res(res, in_channels=3, out_channels=6,
+                                           dtype="bfloat16", norm_dtype="bfloat16",
+                                           conv_int8=True, int8_mode="calibrate"))
+        x_cal = jax.random.normal(jax.random.PRNGKey(9), (8, 3, res, res), jnp.float32)
+        quant = calibrate_sampling(m_cal, params, x_cal, steps,
+                                   scheduler_gamma="sigmoid",
+                                   gamma_params=(1000.0, 0.0, 3.0), two_head=True)
+        params = {"params": params["params"], "quant": quant}
     x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
 
     def run(params, x0):
