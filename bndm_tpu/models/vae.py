@@ -65,8 +65,10 @@ class _VaeUpsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         # subpixel-decomposed nearest-2x + 3x3 conv (exact math, 4/9 MACs,
-        # no materialized 2x tensor) — decoder upsamples run at 256^2/512^2
-        # where the saved HBM traffic matters most
+        # no materialized 2x tensor): measured 1.118x on the full 512^2
+        # decode on v5e (scripts/bench_vae_upsample.py) — the decoder's
+        # upsample convs are MAC-dominated, unlike the UNet's where the same
+        # rewrite lost to interleave data movement
         from bndm_tpu.models.unet2d import _SubpixelUpConv
 
         return _SubpixelUpConv(self.out_channels, self.dtype, name="conv")(x)
