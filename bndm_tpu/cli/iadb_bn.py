@@ -84,9 +84,16 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet activations (bigger batches per chip)")
     p.add_argument("--conv_int8", action="store_true",
-                   help="EXPERIMENTAL: run UNet convs W8A8 on the int8 MXU "
-                        "(2x bf16 peak on v5e); sampling/eval use — sample "
-                        "quality not yet validated against the paper figures")
+                   help="run the UNet's hot convs W8A8 on the int8 MXU "
+                        "(resnet conv1/conv2 + upsamplers; see ops/int8.py)")
+    p.add_argument("--int8_mode", type=str, default="static",
+                   choices=["dynamic", "static"],
+                   help="with --conv_int8 at test time: 'static' (default) "
+                        "auto-calibrates constant activation scales on one "
+                        "exact small-batch trajectory first — the validated "
+                        "serving path (1.116x bf16, SSIM 1.0/PSNR 49 dB vs "
+                        "bf16); 'dynamic' quantizes per call (slower, no "
+                        "calibration). Training always uses dynamic (QAT)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
@@ -259,6 +266,30 @@ def run_test(opt):
     else:
         sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
                       np.float32)
+
+    if opt.conv_int8 and opt.int8_mode == "static":
+        # serving path: calibrate constant activation scales on ONE exact
+        # (fp32-conv) small-batch trajectory, then sample int8-static —
+        # measured 1.116x bf16 at SSIM 1.0 / PSNR 49 dB (PARITY.md §6)
+        import dataclasses
+
+        from bndm_tpu.models.unet2d import UNet2D
+        from bndm_tpu.ops.int8 import calibrate_sampling
+
+        m_cal = UNet2D(dataclasses.replace(model.cfg, int8_mode="calibrate"))
+        model = UNet2D(dataclasses.replace(model.cfg, int8_mode="static"))
+        ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
+        x_cal = jax.random.normal(
+            ckey, (min(8, opt.batch_size), 3, opt.res, opt.res), jnp.float32)
+        t0 = time.time()
+        quant = calibrate_sampling(
+            m_cal, params, x_cal, opt.nb_steps,
+            scheduler_alpha=opt.scheduler_alpha, alpha_param=opt.scheduler_param,
+            scheduler_gamma=opt.scheduler_gamma, gamma_params=jnp.asarray(sp),
+            two_head=tcfg.two_head)
+        params = {"params": params.get("params", params), "quant": quant}
+        print(f"int8 static calibration: {time.time()-t0:.1f}s "
+              f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
 
     # gallery-scale sampling shards the batch across chips (replaces the
     # reference's DataParallel scatter/gather, iadb_bn.py:716)

@@ -1,22 +1,29 @@
 """int8 (W8A8) quantized convolution for the sampling path.
 
 The v5e MXU executes int8 matmuls/convs at 2x the bf16 rate (394 vs 197
-TOPS), making post-training quantization the main remaining throughput
-lever after the bf16 pipeline (73% MFU) — the reference has no analog
-(pure fp16/bf16 torch, ddim_diffusers.py:222-231).
+TOPS) — the reference has no analog (pure fp16/bf16 torch,
+ddim_diffusers.py:222-231).
 
 Scheme (standard symmetric PTQ, computed inside jit so checkpoints stay
 fp32 and the converter is untouched):
   * weights:     per-output-channel scale  s_w[o] = max|W[..., o]| / 127
-  * activations: dynamic per-tensor scale  s_x = max|x| / 127
+    (pure function of the fp32 params — XLA's while-loop LICM hoists it
+    out of the sampling scan)
+  * activations: either a dynamic per-tensor scale s_x = max|x| / 127, or
+    a CALIBRATED constant scale recorded by one exact fp32-conv trajectory
+    (``calibrate_sampling``) — the static path is the one that wins: the
+    constant-scale quantize is pure elementwise and fuses into the
+    preceding GroupNorm/SiLU pass, while the dynamic amax reduction cannot
+    be hoisted and made r1's dynamic path a net loss end-to-end
   * y = conv(x_q, w_q)  accumulated in int32 on the MXU, dequantized by
-    s_x * s_w[o], bias added in the compute dtype.
+    s_x * s_w[o], bias added in the compute dtype (XLA fuses dequant+bias
+    into the conv fusion's epilogue — verified by xplane profile).
 
-Quantizing the weight per call is loop-invariant work that costs
-O(params) elementwise ops per step — noise next to the bs=500 convs it
-feeds. EXPERIMENTAL: numerics are tested (tests/test_int8.py) but sample
-*quality* has not been validated against the paper's figures; keep it
-opt-in (`UNet2DConfig.conv_int8`).
+Measured at the headline config (v5e, bs=500, 250 steps): int8-static
+18.37 vs bf16 16.45 samples/s = 1.116x, fidelity SSIM 1.0 / PSNR 49.2 dB
+vs bf16 on identical x0 (scripts/bench_int8_static.py). Site policy and
+the negative dynamic result are documented in PARITY.md §6. Training with
+``conv_int8`` uses the dynamic path with an STE backward (QAT-capable).
 """
 
 from __future__ import annotations

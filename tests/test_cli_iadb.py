@@ -58,3 +58,16 @@ def test_superres_train_then_test(workdir):
     main(args + ["--train_or_test=test", "--test_samples=2"])
     imgdir = out / "tinycat_iadb_gwn2gbn_superres_steps20" / "images"
     assert len(list(imgdir.glob("*.png"))) > 0
+
+
+def test_int8_static_serving_path(workdir):
+    """--conv_int8 --int8_mode=static: auto-calibration + static sampling
+    through the CLI (the validated serving configuration, PARITY.md §6)."""
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2", "--lr=1e-4"])
+    main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                   "--save_all_samples", "--conv_int8", "--int8_mode=static"])
+    out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) == 2

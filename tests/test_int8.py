@@ -155,3 +155,20 @@ def test_int8_conv_ste_gradients():
         # cotangent g differs (y_q vs y_f) by ~quant error; direction matches
         rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
         assert rel < 0.05, rel
+
+
+def test_int8_site_policy():
+    """Profile-chosen site policy (r2): resnet conv1/conv2 + upsamplers run
+    int8; conv_shortcut, conv_in, downsamplers and conv_out stay fp — their
+    quantize passes cost more HBM traffic than the small convs save
+    (see the r2 int8 xplane profile notes in PARITY.md)."""
+    m_cal = UNet2D(UNet2DConfig(**TINY, conv_int8=True, int8_mode="calibrate"))
+    x = jnp.zeros((1, 3, 16, 16), jnp.float32)
+    v = m_cal.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    assert "quant" in v
+    paths = {jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(v["quant"])[0]}
+    joined = " ".join(sorted(paths))
+    assert "conv1" in joined and "conv2" in joined and "upsamplers_0" in joined
+    for banned in ("conv_shortcut", "conv_in", "downsamplers", "conv_out"):
+        assert banned not in joined, (banned, joined)
