@@ -78,7 +78,14 @@ def build_parser():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--tiny_model", action="store_true")
     p.add_argument("--conv_int8", action="store_true",
-                   help="EXPERIMENTAL W8A8 UNet convs (int8 MXU); see ops/int8.py")
+                   help="W8A8 UNet convs on the int8 MXU; see ops/int8.py")
+    p.add_argument("--int8_mode", type=str, default="static",
+                   choices=["dynamic", "static"],
+                   help="with --conv_int8 at test time: 'static' (default) "
+                        "auto-calibrates constant activation scales first "
+                        "(the validated serving path); training uses dynamic "
+                        "(QAT). The latent IADB test path supports static; "
+                        "the DDIM baseline uses dynamic")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
     return p

@@ -241,6 +241,25 @@ def run_test(args):
 
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
     lat_res = args.resolution // 8
+
+    if args.conv_int8 and getattr(args, "int8_mode", "static") == "static":
+        # int8-static serving path (same flow as the pixel CLI): calibrate
+        # constant activation scales on one exact small trajectory; the
+        # latent sampler uses linear alpha=gamma, calibrate_sampling's
+        # defaults (latent_...:602-604)
+        import dataclasses
+
+        from bndm_tpu.ops.int8 import calibrate_sampling
+
+        m_cal = UNet2D(dataclasses.replace(cfg, int8_mode="calibrate"))
+        model = UNet2D(dataclasses.replace(cfg, int8_mode="static"))
+        x_cal = jnp.asarray(np.random.randn(
+            min(4, args.eval_batch_size), 4, lat_res, lat_res).astype(np.float32))
+        quant = calibrate_sampling(m_cal, params, x_cal,
+                                   args.ddpm_num_inference_steps, two_head=two_head)
+        params = {"params": params.get("params", params), "quant": quant}
+        print(f"int8 static calibration done "
+              f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
     save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",

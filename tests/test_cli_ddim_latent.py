@@ -56,3 +56,23 @@ def test_latent_train_then_test(workdir):
 
     main(common + ["--train_or_test=test", "--eval_batch_size=2", "--test_samples=2"])
     assert len(list((out / "images").glob("*.png"))) == 2
+
+
+def test_latent_int8_static_serving(workdir):
+    """Latent IADB test path with --conv_int8 --int8_mode=static: calibration
+    + static sampling + VAE decode end to end (serving path parity with the
+    pixel CLI)."""
+    from bndm_tpu.cli.latent_iadb import main
+
+    common = [
+        "--dataset_name=tinycat", "--resolution=256", "--tiny_model",
+        "--output_dir=latent_int8", "--compute_dtype=float32",
+        "--noise_type=gaussianBN", "--out_channels=4",
+        "--ddpm_num_steps=100", "--ddpm_num_inference_steps=10",
+    ]
+    main(common + ["--train_or_test=train", "--train_batch_size=4", "--num_epochs=1",
+                   "--max_steps=2", "--lr_warmup_steps=0"])
+    main(common + ["--train_or_test=test", "--eval_batch_size=2", "--test_samples=2",
+                   "--conv_int8", "--int8_mode=static"])
+    out = workdir / "results_gaussianBN" / "latent_int8_gaussianBN"
+    assert len(list((out / "images").glob("*.png"))) == 2
