@@ -99,7 +99,7 @@ def _bench_sampling_int8(batch=500, steps=250, res=64, calib_batch=8):
     vs bf16 on identical x0 at SSIM 1.0 / PSNR 49 dB
     (scripts/bench_int8_static.py); int8 sites chosen by profile — resnet
     conv1/conv2 + upsamplers; shortcut/conv_in/downsample/conv_out stay fp.
-    Returns (sps, dt, ssim_vs_bf16_out or None)."""
+    Returns (sps, dt)."""
     import jax
     import jax.numpy as jnp
 
@@ -248,8 +248,10 @@ def main():
             "mode": mode,
             "bf16_sps": round(sps_bf16, 3),
             "int8_static_sps": round(sps_int8, 3) if sps_int8 else None,
-            "int8_fidelity_vs_bf16": "SSIM 1.0 / PSNR 49.2 dB on identical x0 "
-                                     "(scripts/bench_int8_static.py, v5e)",
+            # provenance reference, NOT measured in this run — the fidelity
+            # gate lives in scripts/bench_int8_static.py (r2, v5e)
+            "int8_fidelity_ref": "SSIM 1.0 / PSNR 49.2 dB on identical x0 "
+                                 "(scripts/bench_int8_static.py, r2, v5e)",
             "sample_batch_seconds": round(sample_dt, 3),
             "per_unet_step_ms": round(sample_dt / steps * 1e3, 3),
             "unet_fwd_gflops_per_image": round(flops_per_image / 1e9, 2),

@@ -89,6 +89,12 @@ def build_latent_cache(args, vae, vae_params):
     cache_path = os.path.join(args.data_root, f"{args.dataset_name}_latent_cache")
     if os.path.exists(os.path.join(cache_path, "meta.json")):
         return cache_path
+    if jax.process_index() != 0:
+        # multi-host: process 0 builds the cache; the rest wait for it
+        # (shared filesystem assumed, like the reference's LMDB dir)
+        while not os.path.exists(os.path.join(cache_path, "meta.json")):
+            time.sleep(5)
+        return cache_path
     ds = ImageFolderDataset(os.path.join(args.data_root, args.dataset_name),
                             args.resolution, random_flip=False)
     lat_res = args.resolution // 8
@@ -113,7 +119,8 @@ def run_train(args):
     from bndm_tpu.cli.common import save_params
     from bndm_tpu.data.latent_cache import LatentCacheDataset
     from bndm_tpu.models.unet2d import UNet2D
-    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.parallel.distributed import host_shard_info
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_host_local_batch
     from bndm_tpu.train.latent import LatentTrainConfig, make_latent_train_step
     from bndm_tpu.train.schedules_lr import hf_adamw
     from bndm_tpu.cli.common import load_L_for
@@ -164,13 +171,21 @@ def run_train(args):
                   "Starting a new training run.")
     mesh = auto_mesh(args.train_batch_size)
     state = replicate(mesh, state)
-    logger = MetricLogger(os.path.join(out_dir, args.logging_dir))
+    # each host trains on its slice of the global batch (no-op single-host)
+    shard_index, shard_count = host_shard_info()
+    if args.train_batch_size % shard_count:
+        raise ValueError(f"--train_batch_size={args.train_batch_size} must "
+                         f"divide across {shard_count} processes")
+    is_main = shard_index == 0
+    logger = MetricLogger(os.path.join(out_dir, args.logging_dir)) if is_main else None
 
     losses = []
     for epoch in range(args.num_epochs):
         epoch_metrics = []  # device scalars; fetched once per epoch
-        for batch in ds.batches(args.train_batch_size, seed=(args.seed, epoch)):
-            state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
+        for batch in ds.batches(args.train_batch_size // shard_count,
+                                seed=(args.seed, epoch),
+                                shard_index=shard_index, shard_count=shard_count):
+            state, m = train_step(state, shard_host_local_batch(mesh, np.asarray(batch)),
                                   jax.random.fold_in(key, step))
             epoch_metrics.append(m["loss"])
             step += 1
@@ -180,9 +195,10 @@ def run_train(args):
                 break
         for off, l in enumerate(epoch_metrics):
             losses.append(float(l))
-            logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
+            if logger is not None:
+                logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
         print(f"epoch {epoch}: mean loss {np.mean(losses[-nb:]):.2f}")
-        if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
+        if is_main and (epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1):
             # EMA-at-eval parity: reference copies EMA params into the saved
             # unet/ before IADBPipeline.save_pretrained (latent_...:680-688)
             eval_params = state.ema.params if state.ema is not None else state.params
@@ -203,7 +219,8 @@ def run_train(args):
     mgr.save(step, state)
     mgr.wait()
     mgr.close()
-    logger.close()
+    if logger is not None:
+        logger.close()
     return out_dir
 
 
@@ -253,8 +270,12 @@ def run_test(args):
 
         m_cal = UNet2D(dataclasses.replace(cfg, int8_mode="calibrate"))
         model = UNet2D(dataclasses.replace(cfg, int8_mode="static"))
-        x_cal = jnp.asarray(np.random.randn(
-            min(4, args.eval_batch_size), 4, lat_res, lat_res).astype(np.float32))
+        # dedicated generator: drawing from the global numpy RNG would shift
+        # the sampling noise stream, breaking identical-x0 fidelity
+        # comparisons between --conv_int8 and bf16 runs at the same --seed
+        cal_rng = np.random.default_rng(args.seed + 777)
+        x_cal = jnp.asarray(cal_rng.standard_normal(
+            (min(4, args.eval_batch_size), 4, lat_res, lat_res)).astype(np.float32))
         quant = calibrate_sampling(m_cal, params, x_cal,
                                    args.ddpm_num_inference_steps, two_head=two_head)
         params = {"params": params.get("params", params), "quant": quant}
@@ -275,12 +296,21 @@ def run_test(args):
             else:
                 continue
         x0 = jnp.asarray(noise)
+
+        def _run():
+            z, _ = sample_iadb(model.apply, params, x0,
+                               nb_steps=args.ddpm_num_inference_steps,
+                               two_head=two_head)
+            return jax.block_until_ready(decode(vae_params, z))
+
         t0 = time.time()
-        z, _ = sample_iadb(model.apply, params, x0,
-                           nb_steps=args.ddpm_num_inference_steps,
-                           two_head=two_head)
-        imgs = decode(vae_params, z)
-        imgs = jax.block_until_ready(imgs)
+        if args.profile_dir and cnt == 0:  # trace the first executed batch
+            from bndm_tpu.utils.timing import profile_trace
+
+            with profile_trace(args.profile_dir):
+                imgs = _run()
+        else:
+            imgs = _run()
         print(f"batch {i}: {x0.shape[0]} samples in {time.time()-t0:.2f}s")
         save_image_grid(np.asarray(imgs), os.path.join(
             out_dir, "images", f"{save_name}_{cnt:05d}_{{0}}.png"))
@@ -293,6 +323,11 @@ def main(argv=None):
     from bndm_tpu.cli.hf_args import parse_args
 
     args = parse_args(argv)
+    if args.coordinator_address or (args.num_processes or 0) > 1:
+        from bndm_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
     np.random.seed(args.seed)
     if args.train_or_test == "train":
         run_train(args)

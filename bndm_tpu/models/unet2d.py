@@ -305,8 +305,12 @@ class _SubpixelUpConv(nn.Module):
              [[1, 1, 0], [0, 0, 1]]],  # a == 1: (cur, next)
             jnp.float32,
         )
-        # (a, r, i) x (b, s, j) x (i, j, ci, co) -> (2,2, r, s, ci, co)
-        k2 = jnp.einsum("ari,bsj,ijco->abrsco", comb, comb, kernel)
+        # (a, r, i) x (b, s, j) x (i, j, ci, co) -> (2,2, r, s, ci, co).
+        # HIGHEST precision: default dots lower to single-pass bf16 on TPU,
+        # which would round the combined taps and break the exact-math claim
+        # of the fp32 parity path; the einsum is tiny and loop-invariant.
+        k2 = jnp.einsum("ari,bsj,ijco->abrsco", comb, comb, kernel,
+                        precision=jax.lax.Precision.HIGHEST)
         # phase-major output channels: p = 2*a + b
         k2 = k2.reshape(4, 2, 2, cin, cout).transpose(1, 2, 3, 0, 4)
         k2 = k2.reshape(2, 2, cin, 4 * cout).astype(self.dtype)
@@ -330,7 +334,9 @@ class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     int8: bool = False
-    fast: bool = True
+    # default matches UNet2DConfig.fast_upsample=False (the subpixel path is
+    # a measured net loss on the UNet); callers that want it pass True
+    fast: bool = False
 
     @nn.compact
     def __call__(self, x):

@@ -148,8 +148,11 @@ def get_noise(
     res = w
     dtype = x.dtype
 
-    if not inplace and noise_type != "uniform" and key is None:
-        raise ValueError("key is required when inplace=False")
+    # 'uniform' always draws fresh (the reference's rand() ignores inplace,
+    # get_noise_recent.py:69-71), so it needs a key even when inplace=True
+    if key is None and (not inplace or noise_type == "uniform"):
+        raise ValueError("key is required when inplace=False (and always for "
+                         "noise_type='uniform', which draws fresh noise)")
 
     if noise_type == "gaussian":
         # (get_noise_recent.py:31-67)

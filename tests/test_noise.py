@@ -203,6 +203,20 @@ def test_uniform_statistics():
     assert float(jnp.max(jnp.abs(n))) <= np.sqrt(3) + 1e-6
 
 
+def test_missing_key_raises_valueerror():
+    """key=None must fail with the intended ValueError (not a cryptic JAX
+    error), including 'uniform' (which always draws fresh noise, even
+    inplace=True — reference get_noise_recent.py:69-71)."""
+    x = jnp.zeros((2, 3, 64, 64))
+    with pytest.raises(ValueError, match="key is required"):
+        get_noise(x, None, jnp.zeros((2,)), noise_type="uniform", key=None)
+    with pytest.raises(ValueError, match="key is required"):
+        get_noise(x, None, jnp.zeros((2,)), noise_type="uniform",
+                  inplace=True, key=None)
+    with pytest.raises(ValueError, match="key is required"):
+        get_noise(x, None, jnp.zeros((2,)), noise_type="gaussian", key=None)
+
+
 def test_v2_adapter_signature(small_L, rng):
     x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
     out = get_noise_v2(
