@@ -33,32 +33,45 @@ def _list_images(root):
     return files
 
 
-def _load_and_transform(path, res, hflip, antialias=True):
+def _resized_dims(w, h, res):
+    """torchvision Resize(res) output dims: shorter side -> res, keep aspect."""
+    if w <= h:
+        return res, max(res, int(round(h * res / w)))
+    return max(res, int(round(w * res / h))), res
+
+
+def _load_and_transform(path, res, hflip, crop_u=None, antialias=True):
+    """``crop_u``: None for center crop (torchvision CenterCrop), or a
+    (u_top, u_left) pair in [0, 1) mapped over the valid offset range — the
+    torchvision RandomCrop behavior HF train_unconditional uses when
+    --center_crop is absent (reference ddim_diffusers.py:539)."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
+    w, h = img.size
+    nw, nh = _resized_dims(w, h, res)
+    if crop_u is None:
+        top = left = -1  # center
+    else:
+        top = int(crop_u[0] * (nh - res + 1))
+        left = int(crop_u[1] * (nw - res + 1))
 
     # native C++ fast path: fused resize+crop+flip+normalize+transpose
     # (bndm_tpu/native/fastimage.cpp); PIL/numpy below is the fallback
     try:
         from bndm_tpu.native import fast_transform
 
-        out = fast_transform(np.asarray(img, np.uint8), res, hflip)
+        out = fast_transform(np.asarray(img, np.uint8), res, hflip,
+                             crop_top=top, crop_left=left)
         if out is not None:
             return out
     except Exception:
         pass
 
-    w, h = img.size
-    # torchvision Resize(res): shorter side -> res, keep aspect (bilinear)
-    if w <= h:
-        nw, nh = res, max(res, int(round(h * res / w)))
-    else:
-        nw, nh = max(res, int(round(w * res / h))), res
     img = img.resize((nw, nh), Image.BILINEAR)
-    # center crop
-    left = (nw - res) // 2
-    top = (nh - res) // 2
+    if top < 0:
+        left = (nw - res) // 2
+        top = (nh - res) // 2
     img = img.crop((left, top, left + res, top + res))
     a = np.asarray(img, dtype=np.float32) / 255.0  # HWC
     if hflip:
@@ -67,19 +80,20 @@ def _load_and_transform(path, res, hflip, antialias=True):
 
 
 class ImageFolderDataset:
-    def __init__(self, root, res, random_flip=True, seed=0):
+    def __init__(self, root, res, random_flip=True, seed=0, random_crop=False):
         self.files = _list_images(root)
         if not self.files:
             raise FileNotFoundError(f"no images under {root}")
         self.res = res
         self.random_flip = random_flip
+        self.random_crop = random_crop
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
         return len(self.files)
 
-    def get(self, idx, hflip=False):
-        return _load_and_transform(self.files[idx], self.res, hflip)
+    def get(self, idx, hflip=False, crop_u=None):
+        return _load_and_transform(self.files[idx], self.res, hflip, crop_u)
 
 
 class BatchLoader:
@@ -119,6 +133,8 @@ class BatchLoader:
         idx = idx[self.shard_index:: self.shard_count]
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         flips = rng.random(len(self.ds)) < 0.5 if self.ds.random_flip else np.zeros(len(self.ds), bool)
+        # per-item (u_top, u_left) random-crop draws, deterministic per epoch
+        crops = rng.random((len(self.ds), 2)) if getattr(self.ds, "random_crop", False) else None
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
@@ -127,7 +143,10 @@ class BatchLoader:
             try:
                 for b in range(nb):
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    imgs = list(pool.map(lambda i: self.ds.get(i, bool(flips[i])), sel))
+                    imgs = list(pool.map(
+                        lambda i: self.ds.get(i, bool(flips[i]),
+                                              None if crops is None else crops[i]),
+                        sel))
                     q.put(np.stack(imgs))
             finally:
                 q.put(None)

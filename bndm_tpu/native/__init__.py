@@ -54,15 +54,22 @@ def get_fastimage():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.transform_u8_to_chw_f32.restype = None
+        lib.transform_u8_to_chw_f32_v2.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.transform_u8_to_chw_f32_v2.restype = None
         _lib = lib
     except Exception:
         _lib = None
     return _lib
 
 
-def fast_transform(img_u8_hwc, res, hflip=False):
+def fast_transform(img_u8_hwc, res, hflip=False, crop_top=-1, crop_left=-1):
     """uint8 HWC image -> float32 CHW in [0,1] via the native kernel
-    (resize shorter side to ``res``, center crop, optional hflip).
+    (resize shorter side to ``res``, crop at (crop_top, crop_left) — -1/-1
+    means center crop — optional hflip).
     Returns None when the native library is unavailable."""
     lib = get_fastimage()
     if lib is None:
@@ -70,9 +77,9 @@ def fast_transform(img_u8_hwc, res, hflip=False):
     img = np.ascontiguousarray(img_u8_hwc, dtype=np.uint8)
     h, w, c = img.shape
     out = np.empty((c, res, res), np.float32)
-    lib.transform_u8_to_chw_f32(
+    lib.transform_u8_to_chw_f32_v2(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w, c, res, int(bool(hflip)),
+        h, w, c, res, int(bool(hflip)), int(crop_top), int(crop_left),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out

@@ -62,10 +62,14 @@ Coeffs build_coeffs(int in_size, int out_size) {
 extern "C" {
 
 // src: uint8 HWC (h, w, ch). out: float32 CHW (ch, res, res) in [0, 1].
-// Pipeline: resize shorter side -> res (aspect kept, rounded), center crop
-// res x res, optional hflip, normalize, transpose.
-void transform_u8_to_chw_f32(const uint8_t* src, int h, int w, int ch, int res,
-                             int hflip, float* out) {
+// Pipeline: resize shorter side -> res (aspect kept, rounded), crop res x res
+// at (crop_top, crop_left) — pass -1/-1 for center crop (the torchvision
+// CenterCrop default; explicit offsets implement RandomCrop, the HF
+// train_unconditional behavior when --center_crop is absent,
+// ddim_diffusers.py:539) — optional hflip, normalize, transpose.
+void transform_u8_to_chw_f32_v2(const uint8_t* src, int h, int w, int ch,
+                                int res, int hflip, int crop_top,
+                                int crop_left, float* out) {
   int nw, nh;
   if (w <= h) {
     nw = res;
@@ -94,8 +98,10 @@ void transform_u8_to_chw_f32(const uint8_t* src, int h, int w, int ch, int res,
 
   // vertical pass fused with crop/flip/normalize/transpose.
   Coeffs cy = build_coeffs(h, nh);
-  const int left = (nw - res) / 2;
-  const int top = (nh - res) / 2;
+  int left = (crop_left >= 0) ? crop_left : (nw - res) / 2;
+  int top = (crop_top >= 0) ? crop_top : (nh - res) / 2;
+  left = std::min(std::max(left, 0), nw - res);
+  top = std::min(std::max(top, 0), nh - res);
   for (int yo = 0; yo < res; ++yo) {
     const int y = top + yo;
     const int lo = cy.lo[y], n = cy.n[y];
@@ -113,6 +119,12 @@ void transform_u8_to_chw_f32(const uint8_t* src, int h, int w, int ch, int res,
       }
     }
   }
+}
+
+// original center-crop entry point (kept for ABI stability)
+void transform_u8_to_chw_f32(const uint8_t* src, int h, int w, int ch, int res,
+                             int hflip, float* out) {
+  transform_u8_to_chw_f32_v2(src, h, w, ch, res, hflip, -1, -1, out);
 }
 
 // batched variant for thread-pool-free bulk transforms

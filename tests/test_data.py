@@ -42,6 +42,74 @@ def test_resize_center_crop_semantics(tmp_path):
     np.testing.assert_allclose(got, want, atol=2.5 / 255.0)
 
 
+def test_random_crop_semantics(tmp_path):
+    """HF train_unconditional uses RandomCrop when --center_crop is absent
+    (reference ddim_diffusers.py:539): crops must be deterministic per
+    (seed, epoch), vary across epochs, and match the PIL oracle at the
+    offsets implied by the loader's crop draws."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (48, 96, 3), dtype=np.uint8)  # wide image
+    root = tmp_path / "d" / "class0"
+    root.mkdir(parents=True)
+    Image.fromarray(arr).save(root / "x.png")
+
+    ds = ImageFolderDataset(str(tmp_path / "d"), res=32, random_flip=False,
+                            random_crop=True)
+    # same (seed, epoch) -> identical batches
+    a = next(iter(BatchLoader(ds, 1, seed=5).epoch(0)))
+    b = next(iter(BatchLoader(ds, 1, seed=5).epoch(0)))
+    np.testing.assert_array_equal(a, b)
+    # different epochs -> (with a 96-wide source, overwhelmingly) different crops
+    epochs = [next(iter(BatchLoader(ds, 1, seed=5).epoch(e))) for e in range(4)]
+    assert any(not np.array_equal(epochs[0], e) for e in epochs[1:])
+
+    # oracle: explicit crop_u reproduces the PIL geometry
+    # resize: shorter side 48 -> 32, w -> round(96*32/48) = 64
+    img = Image.open(root / "x.png").convert("RGB").resize((64, 32), Image.BILINEAR)
+    u = (0.0, 0.999)  # top=0, left=int(0.999*(64-32+1))=32
+    want = np.asarray(img.crop((32, 0, 64, 32)), np.float32) / 255.0
+    got = ds.get(0, hflip=False, crop_u=u)
+    np.testing.assert_allclose(got, np.transpose(want, (2, 0, 1)), atol=2.5 / 255.0)
+
+
+def test_random_crop_native_matches_fallback(tmp_path):
+    """The native fastimage v2 entry point and the PIL fallback must agree on
+    crop geometry for explicit offsets."""
+    from PIL import Image
+
+    from bndm_tpu.data.imagefolder import _load_and_transform
+    from bndm_tpu.native import get_fastimage
+
+    if get_fastimage() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (40, 70, 3), dtype=np.uint8)
+    p = tmp_path / "y.png"
+    Image.fromarray(arr).save(p)
+    for u in [(0.0, 0.0), (0.5, 0.5), (0.99, 0.99), None]:
+        native = _load_and_transform(str(p), 24, False, u)
+        # force the PIL fallback by computing the oracle inline
+        img = Image.open(p).convert("RGB")
+        w, h = img.size
+        from bndm_tpu.data.imagefolder import _resized_dims
+
+        nw, nh = _resized_dims(w, h, 24)
+        img = img.resize((nw, nh), Image.BILINEAR)
+        if u is None:
+            left, top = (nw - 24) // 2, (nh - 24) // 2
+        else:
+            top = int(u[0] * (nh - 24 + 1))
+            left = int(u[1] * (nw - 24 + 1))
+        want = np.asarray(img.crop((left, top, left + 24, top + 24)),
+                          np.float32) / 255.0
+        np.testing.assert_allclose(native, np.transpose(want, (2, 0, 1)),
+                                   atol=2.5 / 255.0)
+
+
 def test_loader_epoch_determinism(tmp_path):
     root = make_synthetic_folder(str(tmp_path / "d"), n=8, res=16)
     ds = ImageFolderDataset(root, res=16)
