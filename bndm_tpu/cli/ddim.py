@@ -53,16 +53,28 @@ def run_train(args):
     from bndm_tpu.cli.common import save_params
     from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset
     from bndm_tpu.models.unet2d import UNet2D
-    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.parallel.distributed import host_shard_info
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_host_local_batch
     from bndm_tpu.train.ddim import DDIMTrainConfig, make_ddim_train_step
     from bndm_tpu.train.schedules_lr import hf_adamw
 
     out_dir = out_dir_for(args)
     os.makedirs(out_dir, exist_ok=True)
     model = UNet2D(model_config(args))
+    # HF train_unconditional crop semantics: CenterCrop only with
+    # --center_crop, RandomCrop otherwise (reference ddim_diffusers.py:539)
     ds = ImageFolderDataset(os.path.join(args.data_root, args.dataset_name),
-                            args.resolution, random_flip=args.random_flip, seed=args.seed)
-    loader = BatchLoader(ds, args.train_batch_size, seed=args.seed)
+                            args.resolution, random_flip=args.random_flip,
+                            seed=args.seed, random_crop=not args.center_crop)
+    # each host loads its slice of the global batch (no-op single-host)
+    shard_index, shard_count = host_shard_info()
+    if args.train_batch_size % shard_count:
+        raise ValueError(f"--train_batch_size={args.train_batch_size} must "
+                         f"divide across {shard_count} processes")
+    loader = BatchLoader(ds, args.train_batch_size // shard_count, seed=args.seed,
+                         num_threads=args.dataloader_num_workers or 8,
+                         shard_index=shard_index, shard_count=shard_count)
+    is_main = shard_index == 0
     steps_total = max(len(loader), 1) * args.num_epochs
 
     cfg = DDIMTrainConfig(
@@ -100,13 +112,13 @@ def run_train(args):
                   "Starting a new training run.")
     mesh = auto_mesh(args.train_batch_size)
     state = replicate(mesh, state)
-    logger = MetricLogger(os.path.join(out_dir, args.logging_dir))
+    logger = MetricLogger(os.path.join(out_dir, args.logging_dir)) if is_main else None
 
     losses = []
     for epoch in range(args.num_epochs):
         epoch_metrics = []  # device scalars; fetched once per epoch
         for batch in loader.epoch(epoch):
-            state, m = train_step(state, shard_batch(mesh, jnp.asarray(batch)),
+            state, m = train_step(state, shard_host_local_batch(mesh, np.asarray(batch)),
                                   jax.random.fold_in(key, step))
             epoch_metrics.append(m["loss"])
             step += 1
@@ -116,9 +128,10 @@ def run_train(args):
                 break
         for off, l in enumerate(epoch_metrics):
             losses.append(float(l))
-            logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
+            if logger is not None:
+                logger.log({"loss": losses[-1]}, step - len(epoch_metrics) + off)
         print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.5f}")
-        if epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1:
+        if is_main and (epoch % args.save_model_epochs == 0 or epoch == args.num_epochs - 1):
             # with --use_ema the reference copies the EMA params into the saved
             # unet/ before save_pretrained (ddim_diffusers.py:869-885), so eval
             # sees EMA weights; raw weights stay in the Orbax checkpoints
@@ -142,7 +155,8 @@ def run_train(args):
     mgr.save(step, state)
     mgr.wait()
     mgr.close()
-    logger.close()
+    if logger is not None:
+        logger.close()
     return out_dir
 
 
@@ -182,6 +196,27 @@ def run_test(args):
             prediction_type=args.prediction_type,
         )
 
+    if args.conv_int8 and args.int8_mode == "static":
+        # int8-static serving (same scheme as the IADB CLIs): calibrate
+        # constant activation scales on one exact small-batch DDIM
+        # trajectory, then sample W8A8 with static scales
+        import dataclasses
+
+        from bndm_tpu.ops.int8 import calibrate_sampling_ddim
+
+        m_cal = UNet2D(dataclasses.replace(model.cfg, int8_mode="calibrate"))
+        model = UNet2D(dataclasses.replace(model.cfg, int8_mode="static"))
+        ckey = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777)
+        x_cal = jax.random.normal(
+            ckey, (min(8, args.eval_batch_size), 3, args.resolution,
+                   args.resolution), jnp.float32)
+        t0 = time.time()
+        quant = calibrate_sampling_ddim(m_cal, params, x_cal, scheduler,
+                                        args.ddpm_num_inference_steps)
+        params = {"params": params.get("params", params), "quant": quant}
+        print(f"int8 static calibration: {time.time()-t0:.1f}s "
+              f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
+
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)
     key = jax.random.PRNGKey(args.seed)
@@ -213,11 +248,21 @@ def run_test(args):
 
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
+
+        def _run():
+            o, f = sample_ddim(model.apply, params, x0, scheduler=scheduler,
+                               num_inference_steps=args.ddpm_num_inference_steps,
+                               collect_frames=True)
+            return jax.block_until_ready(o), f
+
         t0 = time.time()
-        out, frames = sample_ddim(model.apply, params, x0, scheduler=scheduler,
-                                  num_inference_steps=args.ddpm_num_inference_steps,
-                                  collect_frames=True)
-        out = jax.block_until_ready(out)
+        if args.profile_dir and not times:  # trace the first executed batch
+            from bndm_tpu.utils.timing import profile_trace
+
+            with profile_trace(args.profile_dir):
+                out, frames = _run()
+        else:
+            out, frames = _run()
         times.append(time.time() - t0)
         save_image_grid(np.asarray(out),
                         os.path.join(out_dir, "images", f"ddim_img{cnt:05d}_{{0}}.png"))
@@ -233,6 +278,11 @@ def main(argv=None):
     from bndm_tpu.cli.hf_args import parse_args
 
     args = parse_args(argv)
+    if args.coordinator_address or (args.num_processes or 0) > 1:
+        from bndm_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
     np.random.seed(args.seed)
     if args.train_or_test == "train":
         run_train(args)

@@ -48,7 +48,8 @@ def build_parser():
     p.add_argument("--logger", type=str, default="tensorboard")
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--local_rank", type=int, default=-1)
-    p.add_argument("--mixed_precision", type=str, default="no",
+    # default None = unset; resolve_args maps it onto compute_dtype
+    p.add_argument("--mixed_precision", type=str, default=None,
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--prediction_type", type=str, default="epsilon",
                    choices=["epsilon", "sample"])
@@ -74,7 +75,9 @@ def build_parser():
     # bndm-tpu extensions
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--bluenoise_dir", type=str, default="bluenoise")
-    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    # default None = unset; resolve_args picks bfloat16 (the TPU-native
+    # default) unless --mixed_precision dictates otherwise
+    p.add_argument("--compute_dtype", type=str, default=None)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--tiny_model", action="store_true")
     p.add_argument("--conv_int8", action="store_true",
@@ -83,13 +86,60 @@ def build_parser():
                    choices=["dynamic", "static"],
                    help="with --conv_int8 at test time: 'static' (default) "
                         "auto-calibrates constant activation scales first "
-                        "(the validated serving path); training uses dynamic "
-                        "(QAT). The latent IADB test path supports static; "
-                        "the DDIM baseline uses dynamic")
+                        "(the validated serving path) — the latent IADB CLI "
+                        "calibrates on an IADB trajectory, the DDIM baseline "
+                        "on a DDIM trajectory; training uses dynamic (QAT)")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of one sampling batch "
+                        "(view with TensorBoard/xprof); mirrors the pixel "
+                        "CLI's flag")
+    # multi-host launch (replaces the reference's `accelerate launch`,
+    # ddim_diffusers.py:295-301): one process per host with the same flags
+    # plus these three; auto-detected on TPU pods with a cluster env
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
+def resolve_args(args):
+    """Honor (or loudly reject) reference-compat flags that map awkwardly
+    onto TPU concepts — no flag is silently ignored:
+
+    * ``--mixed_precision``: mapped onto ``compute_dtype``. fp16 has no TPU
+      fast path, so it maps to bfloat16 (same dynamic-range class of mixed
+      precision, printed note); 'no' means full fp32 like the reference
+      default (ddim_diffusers.py:222-231). An explicit ``--compute_dtype``
+      wins over ``--mixed_precision``.
+    * ``--logger``: tensorboard is native (utils/logging.py); wandb is not
+      available here -> visible warning + tensorboard/JSONL fallback.
+    * ``--dataloader_num_workers``: honored as the decode thread-pool size
+      (threads replace the reference's worker processes); 0 keeps the
+      default pool.
+    """
+    if args.compute_dtype is None:
+        if args.mixed_precision == "no":
+            args.compute_dtype = "float32"
+            print("--mixed_precision=no: running full fp32 "
+                  "(pass --compute_dtype=bfloat16 for the TPU fast path)")
+        elif args.mixed_precision in ("fp16", "bf16"):
+            args.compute_dtype = "bfloat16"
+            if args.mixed_precision == "fp16":
+                print("--mixed_precision=fp16: TPUs have no fp16 compute "
+                      "path; using bfloat16 (same-exponent mixed precision)")
+        else:
+            args.compute_dtype = "bfloat16"
+    elif args.mixed_precision is not None:
+        print(f"--compute_dtype={args.compute_dtype} overrides "
+              f"--mixed_precision={args.mixed_precision}")
+    if args.logger not in (None, "tensorboard"):
+        print(f"WARNING: --logger={args.logger} is not available in this "
+              "environment; logging to tensorboard + JSONL instead")
+    return args
+
+
 def parse_args(argv=None):
-    return build_parser().parse_args(argv)
+    return resolve_args(build_parser().parse_args(argv))

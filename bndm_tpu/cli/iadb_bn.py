@@ -97,6 +97,14 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
+    # multi-host launch (replaces the reference's `accelerate launch`,
+    # ddim_diffusers.py:295-301): run one process per host with the same
+    # flags plus these three; on TPU pods with a cluster env all three are
+    # auto-detected and can be omitted (jax.distributed.initialize defaults)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multi-host training)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -156,7 +164,7 @@ def run_train(opt):
 
     from bndm_tpu.cli.common import save_params
     from bndm_tpu.data.imagefolder import BatchLoader, ImageFolderDataset
-    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
+    from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_host_local_batch
     from bndm_tpu.train.pixel import PixelTrainer
 
     model, tcfg, L, out_dir = build(opt)
@@ -166,7 +174,16 @@ def run_train(opt):
     suffix = "_train" if opt.is_conditional else ""
     ds = ImageFolderDataset(os.path.join(opt.data_root, opt.dataset + suffix), opt.res,
                             random_flip=True, seed=opt.seed)
-    loader = BatchLoader(ds, opt.batch_size, seed=opt.seed)
+    # each host loads its slice of the global batch (no-op single-host)
+    from bndm_tpu.parallel.distributed import host_shard_info
+
+    shard_index, shard_count = host_shard_info()
+    if opt.batch_size % shard_count:
+        raise ValueError(f"--batch_size={opt.batch_size} must divide across "
+                         f"{shard_count} processes")
+    loader = BatchLoader(ds, opt.batch_size // shard_count, seed=opt.seed,
+                         shard_index=shard_index, shard_count=shard_count)
+    is_main = shard_index == 0
 
     key = jax.random.PRNGKey(opt.seed)
     trainer = PixelTrainer(model, tcfg, L, key)
@@ -197,7 +214,7 @@ def run_train(opt):
 
     mesh = auto_mesh(opt.batch_size)
     trainer.state = replicate(mesh, trainer.state)
-    logger = MetricLogger(os.path.join(out_dir, "logs"))
+    logger = MetricLogger(os.path.join(out_dir, "logs")) if is_main else None
 
     losses = []
     sp_hist = [[], [], []]
@@ -207,7 +224,7 @@ def run_train(opt):
         epoch_metrics = []  # device scalars; fetched once per epoch (no
         # per-step host sync — keeps the TPU pipeline full)
         for batch in loader.epoch(epoch):
-            batch = shard_batch(mesh, jnp.asarray(batch))
+            batch = shard_host_local_batch(mesh, np.asarray(batch))
             m = trainer.step(batch, jax.random.fold_in(key, step))
             epoch_metrics.append(m)
             step += 1
@@ -217,20 +234,22 @@ def run_train(opt):
             losses.append(float(em["loss"]))
             for j, k in enumerate(("sched_tau", "sched_s", "sched_e")):
                 sp_hist[j].append(float(em[k]))
-        for off, em in enumerate(epoch_metrics):
-            logger.log({"loss": float(em["loss"])}, step - len(epoch_metrics) + off)
+        if logger is not None:
+            for off, em in enumerate(epoch_metrics):
+                logger.log({"loss": float(em["loss"])}, step - len(epoch_metrics) + off)
         m = epoch_metrics[-1]
         print(f"epoch {epoch}: mean loss {np.mean(losses[-max(len(loader),1):]):.2f} "
               f"sched_params tau={float(m['sched_tau']):.4f} s={float(m['sched_s']):.4f} "
               f"e={float(m['sched_e']):.4f} ({step} steps, {time.time()-t0:.0f}s)")
-        np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
-        np.savetxt(os.path.join(out_dir, "scheduler_params.txt"),
-                   np.asarray(trainer.state.sched_params))
-        save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
-        save_sched_param_curves(*sp_hist, os.path.join(out_dir, "scheduler_params.png"))
-        save_params(os.path.join(out_dir, "model.npz"), trainer.state.params)
+        if is_main:  # artifact writes: main process only (multi-host)
+            np.savetxt(os.path.join(out_dir, "losses.txt"), np.asarray(losses))
+            np.savetxt(os.path.join(out_dir, "scheduler_params.txt"),
+                       np.asarray(trainer.state.sched_params))
+            save_loss_curve(losses, os.path.join(out_dir, "losses.png"))
+            save_sched_param_curves(*sp_hist, os.path.join(out_dir, "scheduler_params.png"))
+            save_params(os.path.join(out_dir, "model.npz"), trainer.state.params)
         mgr.save(step, trainer.state)
-        if opt.export_reference_ckpt:
+        if is_main and opt.export_reference_ckpt:
             # torch state_dict at the reference's path/format (iadb_bn.py:1028)
             # so bndm-tpu-trained models load in the reference ecosystem
             from bndm_tpu.models.convert import export_torch_ckpt
@@ -241,7 +260,8 @@ def run_train(opt):
             break
     mgr.wait()
     mgr.close()
-    logger.close()
+    if logger is not None:
+        logger.close()
     return out_dir
 
 
@@ -450,6 +470,11 @@ def run_superres_test(opt):
 
 def main(argv=None):
     opt = parse_args(argv)
+    if opt.coordinator_address or (opt.num_processes or 0) > 1:
+        from bndm_tpu.parallel.distributed import init_distributed
+
+        init_distributed(opt.coordinator_address, opt.num_processes,
+                         opt.process_id)
     np.random.seed(opt.seed)
     if opt.train_or_test == "train":
         run_train(opt)
