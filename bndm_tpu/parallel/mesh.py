@@ -64,12 +64,37 @@ def data_parallel_sharding(mesh, axis_name=None):
 
 
 def shard_batch(mesh, batch, axis_name=None):
-    """Place a host array sharded along its leading (batch) axis."""
+    """Place a host array sharded along its leading (batch) axis.
+
+    Single-process only (every device addressable); multi-host jobs feed
+    per-host slices through :func:`shard_host_local_batch`."""
     sh = NamedSharding(mesh, P(_batch_axes(mesh, axis_name)))
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_host_local_batch(mesh, local_batch, axis_name=None):
+    """Multi-host data path: each process passes ITS OWN rows of the global
+    batch (``BatchLoader(shard_index=process_index, shard_count=process_count)``)
+    and gets back one global array sharded along the batch axis over the whole
+    mesh — the jax.make_array_from_process_local_data recipe that replaces
+    the reference's accelerate-DDP per-rank DataLoader
+    (ddim_diffusers.py:570-572). Single-process: identical to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch, axis_name)
+    sh = NamedSharding(mesh, P(_batch_axes(mesh, axis_name)))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch)
+
+
 def replicate(mesh, tree):
-    """Replicate a pytree (params/optimizer state) across the mesh."""
+    """Replicate a pytree (params/optimizer state) across the mesh.
+
+    Multi-host: every process must hold the same values (true for
+    deterministic init from the same seed, or a restored checkpoint)."""
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
