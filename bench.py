@@ -135,7 +135,33 @@ def _bench_sampling_int8(batch=500, steps=250, res=64, calib_batch=8):
     t0 = time.perf_counter()
     _fetch(run(p_sta, x1))
     dt = time.perf_counter() - t0
-    return batch / dt, dt
+    return batch / dt, dt, m_sta, p_sta
+
+
+def _bench_sampling_microbatched(model, params, total=1000, microbatch=500,
+                                 steps=250, res=64):
+    """Gallery serving at effective batch `total` via the microbatched scan
+    (one compiled program, bs=500 activation watermark — r2's bs=1000
+    full-batch attempt OOM'd the v5e worker). Returns (sps, dt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.samplers.iadb import sample_iadb_microbatched
+
+    def run(key):
+        # x0 generated fresh per call (the sample buffer is donated)
+        x0 = jax.random.normal(key, (total, 3, res, res), jnp.float32)
+        return sample_iadb_microbatched(
+            model.apply, params, x0, microbatch=microbatch,
+            nb_steps=steps, scheduler_gamma="sigmoid",
+            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+        )
+
+    _fetch(run(jax.random.PRNGKey(3)))  # compile + warmup
+    t0 = time.perf_counter()
+    _fetch(run(jax.random.PRNGKey(4)))
+    dt = time.perf_counter() - t0
+    return total / dt, dt
 
 
 def _bench_noise(batch=500, res=64, inner=10):
@@ -213,15 +239,30 @@ def main():
     # bf16 on identical x0 — scripts/bench_int8_static.py); BENCH_INT8=0
     # skips (e.g. to measure the pure bf16 parity path)
     sps_int8 = None
+    m_sta = p_sta = None
     if os.environ.get("BENCH_INT8", "1") != "0":
         try:
-            sps_int8, sample_dt_int8 = _bench_sampling_int8()
+            sps_int8, sample_dt_int8, m_sta, p_sta = _bench_sampling_int8()
         except Exception as e:  # noqa: BLE001 — never lose the round artifact
             print(f"int8 bench failed ({e}); reporting bf16", flush=True)
     if sps_int8 is not None and sps_int8 > sps_bf16:
         sps, sample_dt, mode = sps_int8, sample_dt_int8, "int8-static serving"
     else:
         sps, sample_dt, mode = sps_bf16, sample_dt_bf16, "bf16"
+    # gallery serving at effective batch 1000 (microbatched scan) on the
+    # winning int8-static configuration; BENCH_MB=0 skips
+    sps_mb = None
+    mb_batch = None
+    if m_sta is not None and os.environ.get("BENCH_MB", "1") != "0":
+        try:
+            mb_batch = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
+            sps_mb, sample_dt_mb = _bench_sampling_microbatched(
+                m_sta, p_sta, total=mb_batch)
+            if sps_mb > sps:
+                sps, sample_dt = sps_mb, sample_dt_mb
+                mode = f"int8-static microbatched (eff. bs={mb_batch})"
+        except Exception as e:  # noqa: BLE001
+            print(f"microbatched bench failed ({e})", flush=True)
     mpix_s, noise_dt = _bench_noise()
     # train throughput is on by default so the round artifact records it
     # (the persistent compile cache keeps reruns cheap); BENCH_TRAIN=0 skips
@@ -239,8 +280,9 @@ def main():
         baseline_sps = float("nan")
         vs_baseline = float("nan")
 
+    eff_bs = mb_batch if mode.startswith("int8-static microbatched") else 500
     print(json.dumps({
-        "metric": "samples/sec/chip (IADB-BN res64, 250 steps, bs=500)",
+        "metric": f"samples/sec/chip (IADB-BN res64, 250 steps, bs={eff_bs})",
         "value": round(sps, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
@@ -248,6 +290,8 @@ def main():
             "mode": mode,
             "bf16_sps": round(sps_bf16, 3),
             "int8_static_sps": round(sps_int8, 3) if sps_int8 else None,
+            "int8_microbatched_sps": round(sps_mb, 3) if sps_mb else None,
+            "microbatched_effective_batch": mb_batch if sps_mb else None,
             # provenance reference, NOT measured in this run — the fidelity
             # gate lives in scripts/bench_int8_static.py (r2, v5e)
             "int8_fidelity_ref": "SSIM 1.0 / PSNR 49.2 dB on identical x0 "

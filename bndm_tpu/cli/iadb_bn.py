@@ -97,6 +97,12 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="gallery serving: denoise each --batch_size batch as "
+                        "one compiled scan over microbatches of this size "
+                        "(holds only one microbatch's UNet activations — "
+                        "breaks the bs=500 HBM ceiling for 30k-sample runs; "
+                        "seqs/ frames are skipped in this mode)")
     # multi-host launch (replaces the reference's `accelerate launch`,
     # ddim_diffusers.py:295-301): run one process per host with the same
     # flags plus these three; on TPU pods with a cluster env all three are
@@ -362,7 +368,21 @@ def run_test(opt):
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
 
+        use_mb = opt.microbatch and x0.shape[0] > opt.microbatch \
+            and x0.shape[0] % opt.microbatch == 0
+
         def _run():
+            if use_mb:
+                from bndm_tpu.samplers.iadb import sample_iadb_microbatched
+
+                s = sample_iadb_microbatched(
+                    model.apply, params, jnp.array(x0), microbatch=opt.microbatch,
+                    nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
+                    alpha_param=opt.scheduler_param,
+                    scheduler_gamma=opt.scheduler_gamma,
+                    gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                )
+                return jax.block_until_ready(s), None
             s, f = sample_iadb(
                 model.apply, params, x0,
                 nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
@@ -385,10 +405,11 @@ def run_test(opt):
         to_save = np.asarray(sample) if opt.save_all_samples else np.asarray(sample[:1])
         save_image_grid(to_save,
                         os.path.join(out_dir, fname, "images", f"{i:05d}_{{0}}.png"))
-        for j, fr in enumerate(np.asarray(frames)):
-            save_image_grid(fr, os.path.join(
-                out_dir, fname, "seqs",
-                f"{noise_folder_name(opt.noise_type)}_img{cnt:05d}_step{j}_{{0}}.png"))
+        if frames is not None:
+            for j, fr in enumerate(np.asarray(frames)):
+                save_image_grid(fr, os.path.join(
+                    out_dir, fname, "seqs",
+                    f"{noise_folder_name(opt.noise_type)}_img{cnt:05d}_step{j}_{{0}}.png"))
         cnt += bs
         print(f"batch {i}: {bs} samples in {times[-1]:.2f}s "
               f"({bs/times[-1]:.1f} samples/s)")

@@ -115,6 +115,85 @@ def sample_iadb(
     return x, frames
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "microbatch", "nb_steps", "scheduler_alpha", "alpha_param",
+        "scheduler_gamma", "two_head",
+    ),
+    donate_argnums=(2,),
+)
+def sample_iadb_microbatched(
+    apply_fn,
+    params,
+    x0,
+    *,
+    microbatch,
+    nb_steps,
+    scheduler_alpha="linear",
+    alpha_param=0.02,
+    scheduler_gamma="linear",
+    gamma_params=(1.0, 0.0, 3.0),
+    two_head=False,
+):
+    """Gallery-scale serving: one compiled program that denoises an effective
+    batch of ``B = K * microbatch`` samples as a scan over K microbatches,
+    each running the full ``nb_steps`` reverse chain.
+
+    Why: the full-batch sampler's activation watermark grows with B, and the
+    v5e worker OOMs at B=1000 for the 113M res-64 UNet (the reference's
+    gallery workload is total_num=30000, scripts/sampling/cat_res64_test.sh:5,
+    iadb_bn.py:719-728). Scanning over microbatches holds only ONE
+    microbatch's UNet activations at any time — the carry is just the
+    (K, mb, C, H, W) sample buffer, donated, updated in place — so effective
+    batches of 1000-2000+ run in one dispatch with the per-step fixed costs
+    of the validated mb=500 configuration.
+
+    x0 may be (B, C, H, W) with B divisible by ``microbatch``, or already
+    (K, mb, C, H, W). Returns samples with the same leading layout as given.
+    Frames are not collected (gallery mode saves final samples only).
+    """
+    gamma_params = jnp.asarray(gamma_params, jnp.float32)
+    squeeze = x0.ndim == 4
+    if squeeze:
+        b = x0.shape[0]
+        if b % microbatch:
+            raise ValueError(f"batch {b} not divisible by microbatch {microbatch}")
+        x0 = x0.reshape((b // microbatch, microbatch) + x0.shape[1:])
+
+    ts = jnp.arange(nb_steps - 1, -1, -1, dtype=jnp.float32)
+
+    def alpha(t):
+        return alpha_schedule(t, nb_steps, scheduler_alpha, alpha_param)
+
+    def gamma(t):
+        return gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params)
+
+    def denoise_one(x, _):
+        def body(x, t):
+            a_s, a_e = alpha(t + 1.0), alpha(t)
+            g_s, g_e = gamma(t + 1.0), gamma(t)
+            tt = jnp.broadcast_to(a_s, (x.shape[0],))
+            d = apply_fn(params, x, tt)
+            return iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head), None
+
+        x, _ = jax.lax.scan(body, x, ts)
+        return x, None
+
+    # scan-over-microbatches with the buffer as donated carry: lax.scan over
+    # the leading axis would stack outputs into a fresh buffer; carrying the
+    # whole (K, mb, ...) array and updating slice k in place lets XLA alias
+    # input and output (zero extra HBM beyond one microbatch's activations)
+    def outer(buf, k):
+        xk = jax.lax.dynamic_index_in_dim(buf, k, axis=0, keepdims=False)
+        xk, _ = denoise_one(xk, None)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, xk, k, axis=0)
+        return buf, None
+
+    buf, _ = jax.lax.scan(outer, x0, jnp.arange(x0.shape[0]))
+    return buf.reshape((-1,) + buf.shape[2:]) if squeeze else buf
+
+
 class IADBScheduler:
     """diffusers-style scheduler facade (latent pipeline API parity).
 
