@@ -78,6 +78,11 @@ class UNet2DConfig:
     # upsample convs are small enough that XLA's conv is already faster than
     # the extra data movement. Kept opt-in; the VAE decoder (4x larger convs
     # at 256^2/512^2, MAC-dominated) does use it.
+    gn_mode: str = "dynamic"  # dynamic | calibrate | static — static-calibrated
+    # GroupNorm statistics for serving (ops/static_norm.py; fidelity-gated
+    # experiment attacking the GN/SiLU bandwidth wall). calibrate/static need
+    # gn_steps = the sampler's nb_steps and the LINEAR alpha schedule.
+    gn_steps: int = 0
 
     @property
     def int8_arg(self):
@@ -155,6 +160,18 @@ def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=True,
     return jnp.concatenate([sin, cos], axis=-1)
 
 
+def _gn(groups, eps, dtype, norm_mode, norm_steps, name):
+    """nn.GroupNorm (dynamic — bit-identical to the parity path), or the
+    static-calibrated CalGroupNorm (ops/static_norm.py). Returns a callable
+    ``f(x, step_idx)``; dynamic ignores step_idx."""
+    if norm_mode == "dynamic":
+        m = nn.GroupNorm(groups, epsilon=eps, dtype=dtype, name=name)
+        return lambda x, step_idx=None: m(x)
+    from bndm_tpu.ops.static_norm import CalGroupNorm
+
+    return CalGroupNorm(groups, eps, dtype, norm_mode, norm_steps, name=name)
+
+
 def _conv(int8, features, kernel_size=(3, 3), strides=(1, 1), padding=1,
           dtype=jnp.float32, name=None):
     """nn.Conv, or the experimental W8A8 Int8Conv (identical param tree).
@@ -193,24 +210,27 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
     int8: bool = False
+    norm_mode: str = "dynamic"
+    norm_steps: int = 0
 
-    def _norm_act(self, x, name):
+    def _norm_act(self, x, name, step_idx=None):
         act = ACT[self.act_fn]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype, name=name)(x)
+        h = _gn(self.groups, self.eps, self.norm_dtype, self.norm_mode,
+                self.norm_steps, name)(x, step_idx)
         return act(h).astype(self.dtype)
 
     @nn.compact
-    def __call__(self, x, temb=None, deterministic=True):
+    def __call__(self, x, temb=None, deterministic=True, step_idx=None):
         act = ACT[self.act_fn]
         in_channels = x.shape[-1]
-        h = self._norm_act(x, "norm1")
+        h = self._norm_act(x, "norm1", step_idx)
         h = _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv1")(h)
         if temb is not None:  # VAE resnets have no time conditioning
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 act(temb).astype(self.dtype)
             )
             h = h + t[:, None, None, :]
-        h = self._norm_act(h, "norm2")
+        h = self._norm_act(h, "norm2", step_idx)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = _conv(self.int8, self.out_channels, dtype=self.dtype, name="conv2")(h)
@@ -238,15 +258,17 @@ class AttentionBlock(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    norm_mode: str = "dynamic"
+    norm_steps: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, step_idx=None):
         b, hh, ww, c = x.shape
         heads = max(1, c // self.head_dim)
         dh = c // heads
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.norm_dtype,
-                         name="group_norm")(x)
+        h = _gn(self.groups, self.eps, self.norm_dtype, self.norm_mode,
+                self.norm_steps, "group_norm")(x, step_idx)
         h = h.astype(self.dtype).reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -357,21 +379,21 @@ class DownBlock2D(nn.Module):
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, temb, deterministic=True):
+    def __call__(self, x, temb, deterministic=True, step_idx=None):
         cfg = self.cfg
         skips = []
         for i in range(self.num_layers):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
-                cfg.int8_arg, name=f"resnets_{i}",
-            )(x, temb, deterministic)
+                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps, name=f"resnets_{i}",
+            )(x, temb, deterministic, step_idx)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype,
+                    cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
                     name=f"attentions_{i}",
-                )(x)
+                )(x, step_idx)
             skips.append(x)
         if self.add_downsample:
             # fp even under conv_int8: the strided conv is tiny but its input
@@ -391,7 +413,7 @@ class UpBlock2D(nn.Module):
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, skips, temb, deterministic=True):
+    def __call__(self, x, skips, temb, deterministic=True, step_idx=None):
         cfg = self.cfg
         for i in range(self.num_layers):
             skip = skips.pop()
@@ -399,14 +421,14 @@ class UpBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
-                cfg.int8_arg, name=f"resnets_{i}",
-            )(x, temb, deterministic)
+                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps, name=f"resnets_{i}",
+            )(x, temb, deterministic, step_idx)
             if self.with_attn:
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                    cfg.compute_dtype, cfg.gn_dtype,
+                    cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
                     name=f"attentions_{i}",
-                )(x)
+                )(x, step_idx)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
                            cfg.fast_upsample, name="upsamplers_0")(x)
@@ -417,22 +439,25 @@ class UNetMidBlock2D(nn.Module):
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, temb, deterministic=True):
+    def __call__(self, x, temb, deterministic=True, step_idx=None):
         cfg = self.cfg
         c = x.shape[-1]
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, name="resnets_0",
-        )(x, temb, deterministic)
+            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, cfg.gn_mode,
+            cfg.gn_steps, name="resnets_0",
+        )(x, temb, deterministic, step_idx)
         if cfg.add_attention:
             x = AttentionBlock(
                 cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
-                cfg.compute_dtype, cfg.gn_dtype, name="attentions_0",
-            )(x)
+                cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
+                name="attentions_0",
+            )(x, step_idx)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
-            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, name="resnets_1",
-        )(x, temb, deterministic)
+            cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, cfg.gn_mode,
+            cfg.gn_steps, name="resnets_1",
+        )(x, temb, deterministic, step_idx)
         return x
 
 
@@ -449,6 +474,15 @@ class UNet2D(nn.Module):
             timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
 
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW -> NHWC
+
+        step_idx = None
+        if cfg.gn_mode != "dynamic":
+            # IADB passes alpha = (t+1)/T as the timestep; with LINEAR alpha
+            # (every published run config) this recovers the integer step t
+            # for the calibrated-GN tables (ops/static_norm.py module doc)
+            step_idx = jnp.round(
+                timesteps.astype(jnp.float32)[0] * cfg.gn_steps
+            ).astype(jnp.int32) - 1
 
         temb = get_timestep_embedding(
             timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
@@ -471,10 +505,10 @@ class UNet2D(nn.Module):
                 add_downsample=(i < n - 1),
                 cfg=cfg,
                 name=f"down_blocks_{i}",
-            )(h, temb, deterministic)
+            )(h, temb, deterministic, step_idx)
             skips.extend(s)
 
-        h = UNetMidBlock2D(cfg, name="mid_block")(h, temb, deterministic)
+        h = UNetMidBlock2D(cfg, name="mid_block")(h, temb, deterministic, step_idx)
 
         rev_channels = list(reversed(cfg.block_out_channels))
         for i, btype in enumerate(cfg.up_block_types):
@@ -486,10 +520,10 @@ class UNet2D(nn.Module):
                 add_upsample=(i < n - 1),
                 cfg=cfg,
                 name=f"up_blocks_{i}",
-            )(h, skips, temb, deterministic)
+            )(h, skips, temb, deterministic, step_idx)
 
-        h = nn.GroupNorm(cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=cfg.gn_dtype,
-                         name="conv_norm_out")(h)
+        h = _gn(cfg.norm_num_groups, cfg.norm_eps, cfg.gn_dtype, cfg.gn_mode,
+                cfg.gn_steps, "conv_norm_out")(h, step_idx)
         h = ACT[cfg.act_fn](h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW

@@ -1,0 +1,118 @@
+"""Static-calibrated GroupNorm for the sampling path (serving experiment).
+
+The r2 xplane profile pins the sampling step's largest cost on the
+GroupNorm/SiLU elementwise passes (47% of device time bf16, ~30 ms/step
+int8) — pure HBM bandwidth, which neither Pallas (slower streaming than XLA
+fusions) nor more int8 can cut (BASELINE.md r2 analysis). What CAN cut it is
+removing the *statistics* pass: dynamic GroupNorm reads x once to reduce
+mean/var and again to normalize; with CALIBRATED per-(site, step) constants
+the whole op collapses to one fused multiply-add that rides the neighboring
+pass — the same static-scale trick that made int8 win (ops/int8.py).
+
+Semantics change (unlike int8-static, which only rounds): GroupNorm is
+per-sample, the calibrated constants are batch means recorded on one exact
+trajectory — so this is fidelity-gated (SSIM/PSNR vs exact GN on identical
+x0, scripts/bench_static_gn.py) exactly like the int8 path was.
+
+Modes (mirroring ops/int8.Int8Conv):
+  dynamic   — exact per-sample GroupNorm (parity path; the default)
+  calibrate — exact GroupNorm, while recording batch-mean mean/var per scan
+              step into (T, G) tables in the 'quant' collection
+  static    — normalize with the calibrated constants for the current step:
+              y = x * (scale * rstd[t]) + (bias - mean[t] * rstd[t] * scale)
+
+Step indexing: the IADB sampler passes the continuous alpha = (t+1)/T as the
+"timestep" (reference iadb_bn.py:319); with the linear alpha schedule (every
+published run config) round(alpha * T) - 1 recovers t exactly, so the tables
+are indexed without threading a separate step input through the model.
+Calibrate/static modes require linear alpha; DDIM's integer timesteps are
+not supported (its baseline keeps exact GN).
+
+Parameter tree is identical to ``nn.GroupNorm`` ('scale' + 'bias'), so
+checkpoints and the converter are untouched.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class CalGroupNorm(nn.Module):
+    """GroupNorm with optional static-calibrated statistics (see module doc)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    mode: str = "dynamic"
+    steps: int = 0  # calibration table length T (calibrate/static modes)
+
+    @nn.compact
+    def __call__(self, x, step_idx=None):
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.mode == "dynamic" or (self.mode in ("calibrate", "static")
+                                      and self.is_initializing()):
+            y = self._exact(x, scale, bias)
+            if self.mode in ("calibrate", "static"):
+                self._tables()  # init pass: just create the tables
+            return y
+        if self.mode == "calibrate":
+            if step_idx is None:
+                raise ValueError("calibrate mode needs step_idx")
+            mean_t, var_t = self._tables()
+            mu, var = self._stats(x)
+            # batch-mean constants for this (site, step)
+            idx = jnp.clip(step_idx, 0, self.steps - 1)
+            mean_t.value = mean_t.value.at[idx].set(jnp.mean(mu, axis=0))
+            var_t.value = var_t.value.at[idx].set(jnp.mean(var, axis=0))
+            return self._exact(x, scale, bias)
+        if self.mode == "static":
+            if step_idx is None:
+                raise ValueError("static mode needs step_idx")
+            mean_t, var_t = self._tables()
+            idx = jnp.clip(step_idx, 0, self.steps - 1)
+            mu = mean_t.value[idx]  # (G,)
+            rstd = jax.lax.rsqrt(var_t.value[idx] + self.epsilon)  # (G,)
+            # fold per-group constants into per-channel affine: one FMA pass
+            mu_c = jnp.repeat(mu, c // g)
+            rstd_c = jnp.repeat(rstd, c // g)
+            w = (scale * rstd_c).astype(self.dtype)
+            b = (bias - mu_c * rstd_c * scale).astype(self.dtype)
+            return x.astype(self.dtype) * w + b
+        raise ValueError(f"unknown CalGroupNorm mode {self.mode!r}")
+
+    def _tables(self):
+        if self.steps <= 0:
+            raise ValueError("CalGroupNorm calibrate/static needs steps > 0")
+        mean_t = self.variable("quant", "gn_mean",
+                               lambda: jnp.zeros((self.steps, self.num_groups),
+                                                 jnp.float32))
+        var_t = self.variable("quant", "gn_var",
+                              lambda: jnp.ones((self.steps, self.num_groups),
+                                               jnp.float32))
+        return mean_t, var_t
+
+    def _stats(self, x):
+        """Per-sample, per-group mean/var in fp32 (flax GroupNorm semantics:
+        reduce over H, W and within-group channels)."""
+        b, h, w, c = x.shape
+        xf = x.astype(jnp.float32).reshape(b, h, w, self.num_groups,
+                                           c // self.num_groups)
+        mu = jnp.mean(xf, axis=(1, 2, 4))
+        var = jnp.mean(jnp.square(xf), axis=(1, 2, 4)) - jnp.square(mu)
+        return mu, var  # (B, G) each
+
+    def _exact(self, x, scale, bias):
+        mu, var = self._stats(x)  # (B, G)
+        c = x.shape[-1]
+        g = self.num_groups
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        mu_c = jnp.repeat(mu, c // g, axis=1)[:, None, None, :]  # (B,1,1,C)
+        rstd_c = jnp.repeat(rstd, c // g, axis=1)[:, None, None, :]
+        y = (x.astype(jnp.float32) - mu_c) * rstd_c * scale + bias
+        return y.astype(self.dtype)

@@ -1,0 +1,115 @@
+"""Static-calibrated GroupNorm serving experiment (VERDICT r2 next #9): the
+only remaining idea that touches the GN/SiLU HBM-bandwidth wall (47% of the
+bf16 sampling step; ~30 ms/step int8).
+
+Flow (headline config: IADB-BN res64, 250 steps, bs=500, 113.7M UNet):
+  1. int8-static baseline (the current serving path: exact per-sample GN)
+  2. joint calibration: ONE exact trajectory records conv amax AND per-step
+     GroupNorm mean/var tables (gn_mode='calibrate', ops/static_norm.py)
+  3. int8-static + static-GN sampling: every GroupNorm collapses to one
+     fused FMA using the calibrated per-(site, step) constants
+  4. fidelity vs the exact-GN int8-static output on identical x0
+     (SSIM / PSNR / max|delta|) — the same gate as int8 and bf16-GN
+
+Decision rule: static-GN joins the serving path only if it beats the exact-GN
+int8-static throughput AND holds SSIM >= 0.99 / PSNR >= 35 dB; otherwise the
+negative result is recorded in PARITY.md with the trace.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+from bench import _fetch, _setup_compile_cache  # noqa: E402
+
+
+def main(batch=500, steps=250, res=64, calib_batch=8):
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
+    from bndm_tpu.ops.int8 import calibrate_sampling
+    from bndm_tpu.samplers.iadb import sample_iadb
+    from bndm_tpu.utils.metrics import psnr, ssim
+
+    _setup_compile_cache()
+    common = dict(in_channels=3, out_channels=6, dtype="bfloat16",
+                  norm_dtype="bfloat16", conv_int8=True)
+    m_sta = UNet2D(unet_config_for_res(res, **common, int8_mode="static"))
+    m_cal = UNet2D(unet_config_for_res(res, **common, int8_mode="calibrate"))
+    import dataclasses
+
+    m_calg = UNet2D(dataclasses.replace(m_cal.cfg, gn_mode="calibrate",
+                                        gn_steps=steps))
+    m_stag = UNet2D(dataclasses.replace(m_sta.cfg, gn_mode="static",
+                                        gn_steps=steps))
+    params = m_sta.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32),
+        jnp.zeros((1,)))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res),
+                           jnp.float32)
+    kw = dict(nb_steps=steps, scheduler_gamma="sigmoid",
+              gamma_params=(1000.0, 0.0, 3.0), two_head=True)
+
+    def timed(apply_fn, p, label):
+        out, _ = sample_iadb(apply_fn, p, x0, **kw)
+        _fetch(out)  # compile + warmup
+        t0 = time.perf_counter()
+        out, _ = sample_iadb(apply_fn, p, x0, **kw)
+        _fetch(out)
+        dt = time.perf_counter() - t0
+        print(f"{label}: {batch/dt:.2f} samples/s ({dt:.2f}s)", flush=True)
+        return out, dt
+
+    # 1. baseline: int8-static with exact GN (needs its own conv calibration)
+    t0 = time.perf_counter()
+    quant_conv = calibrate_sampling(
+        m_cal, params, x0[:calib_batch], steps,
+        scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0),
+        two_head=True)
+    print(f"conv calibration: {time.perf_counter()-t0:.1f}s", flush=True)
+    out_b, dt_b = timed(m_sta.apply, {"params": params["params"],
+                                      "quant": quant_conv}, "int8-static")
+
+    # 2. joint conv+GN calibration (exact trajectory, GN tables per step).
+    # calib_batch samples: the GN tables record the batch-mean stats.
+    t0 = time.perf_counter()
+    quant = calibrate_sampling(
+        m_calg, params, x0[:calib_batch], steps,
+        scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0),
+        two_head=True)
+    n_gn = sum("gn_mean" in jax.tree_util.keystr(p)
+               for p, _ in jax.tree_util.tree_leaves_with_path(quant))
+    print(f"conv+GN calibration: {time.perf_counter()-t0:.1f}s "
+          f"({n_gn} GN sites)", flush=True)
+
+    # 3. static-GN serving
+    out_g, dt_g = timed(m_stag.apply, {"params": params["params"],
+                                       "quant": quant},
+                        "int8-static + static-GN")
+
+    # 4. fidelity vs exact-GN serving on identical x0
+    a = jnp.clip((out_b + 1) / 2, 0, 1)
+    b = jnp.clip((out_g + 1) / 2, 0, 1)
+    ssim_v = float(jnp.mean(ssim(b, a)))
+    psnr_v = float(jnp.mean(psnr(b, a)))
+    print(json.dumps({
+        "metric": "static-GN serving vs exact-GN int8-static (identical x0)",
+        "value": round(batch / dt_g, 3),
+        "unit": "samples/s/chip",
+        "extra": {
+            "exact_gn_sps": round(batch / dt_b, 3),
+            "speedup": round(dt_b / dt_g, 3),
+            "fidelity_ssim": round(ssim_v, 4),
+            "fidelity_psnr_db": round(psnr_v, 2),
+            "max_abs_delta": round(float(jnp.max(jnp.abs(out_g - out_b))), 4),
+            "gate": "pass" if (dt_b / dt_g > 1.0 and ssim_v >= 0.99
+                               and psnr_v >= 35.0) else "fail",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
