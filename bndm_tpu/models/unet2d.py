@@ -71,6 +71,10 @@ class UNet2DConfig:
     conv_int8: bool = False  # EXPERIMENTAL W8A8 convs (int8 MXU = 2x bf16 on v5e);
     # conv_out stays fp32 for output fidelity; see ops/int8.py
     int8_mode: str = "dynamic"  # dynamic | calibrate | static (ops/int8.py)
+    int8_wide: bool = False  # ALSO quantize the profile-excluded sites
+    # (resnet shortcut, downsamplers, conv_in) — r2's HBM analysis says their
+    # quantize passes cost more than the small convs save; this switch exists
+    # to measure that claim with static scales (scripts/bench_int8_qat.py)
     fast_upsample: bool = False  # subpixel-decomposed upsample conv (exact math,
     # 4/9 the MACs; see _SubpixelUpConv). MEASURED NET LOSS on the res-64 UNet
     # at bs=500 on v5e: the phase-interleave relayout copies cost ~9 ms/step
@@ -88,6 +92,11 @@ class UNet2DConfig:
     def int8_arg(self):
         """Value passed to conv sites: False (fp conv) or the int8 mode."""
         return self.int8_mode if self.conv_int8 else False
+
+    @property
+    def int8_wide_arg(self):
+        """int8 mode for the normally-fp sites, only under int8_wide."""
+        return self.int8_mode if (self.conv_int8 and self.int8_wide) else False
 
     @property
     def compute_dtype(self):
@@ -212,6 +221,8 @@ class ResnetBlock2D(nn.Module):
     int8: bool = False
     norm_mode: str = "dynamic"
     norm_steps: int = 0
+    # keyword-only in practice (callers pass the fields above positionally)
+    int8_wide: bool = False  # int8 mode for the shortcut too (see config)
 
     def _norm_act(self, x, name, step_idx=None):
         act = ACT[self.act_fn]
@@ -239,8 +250,9 @@ class ResnetBlock2D(nn.Module):
             # SECOND full-size s8 copy of the raw (un-normalized) input next
             # to the normalized one (r2 int8 profile: dual-s8 quantize passes
             # of 2x524 MB at res 64), costing more HBM traffic than the tiny
-            # 1x1 conv saves on the MXU
-            x = _conv(False, self.out_channels, (1, 1), padding=0,
+            # 1x1 conv saves on the MXU. int8_wide overrides to measure that.
+            x = _conv(self.int8 if self.int8_wide else False,
+                      self.out_channels, (1, 1), padding=0,
                       dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
@@ -386,7 +398,8 @@ class DownBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
-                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps, name=f"resnets_{i}",
+                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps,
+                int8_wide=cfg.int8_wide, name=f"resnets_{i}",
             )(x, temb, deterministic, step_idx)
             if self.with_attn:
                 x = AttentionBlock(
@@ -398,9 +411,10 @@ class DownBlock2D(nn.Module):
         if self.add_downsample:
             # fp even under conv_int8: the strided conv is tiny but its input
             # quantize would be a separate full-size pass (the bf16 x is also
-            # kept as a skip, so the s8 copy can't replace it)
-            x = Downsample2D(self.out_channels, cfg.compute_dtype, False,
-                             name="downsamplers_0")(x)
+            # kept as a skip, so the s8 copy can't replace it); int8_wide
+            # overrides to measure that claim
+            x = Downsample2D(self.out_channels, cfg.compute_dtype,
+                             cfg.int8_wide_arg, name="downsamplers_0")(x)
             skips.append(x)
         return x, skips
 
@@ -421,7 +435,8 @@ class UpBlock2D(nn.Module):
             x = ResnetBlock2D(
                 self.out_channels, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.dropout, cfg.compute_dtype, cfg.gn_dtype,
-                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps, name=f"resnets_{i}",
+                cfg.int8_arg, cfg.gn_mode, cfg.gn_steps,
+                int8_wide=cfg.int8_wide, name=f"resnets_{i}",
             )(x, temb, deterministic, step_idx)
             if self.with_attn:
                 x = AttentionBlock(
@@ -445,7 +460,7 @@ class UNetMidBlock2D(nn.Module):
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
             cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, cfg.gn_mode,
-            cfg.gn_steps, name="resnets_0",
+            cfg.gn_steps, int8_wide=cfg.int8_wide, name="resnets_0",
         )(x, temb, deterministic, step_idx)
         if cfg.add_attention:
             x = AttentionBlock(
@@ -456,7 +471,7 @@ class UNetMidBlock2D(nn.Module):
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,
             cfg.compute_dtype, cfg.gn_dtype, cfg.int8_arg, cfg.gn_mode,
-            cfg.gn_steps, name="resnets_1",
+            cfg.gn_steps, int8_wide=cfg.int8_wide, name="resnets_1",
         )(x, temb, deterministic, step_idx)
         return x
 
@@ -492,8 +507,9 @@ class UNet2D(nn.Module):
         )(temb)
 
         # conv_in stays fp under conv_int8 (3-channel input: no MXU win, and
-        # the quantize pass would cost more than the conv)
-        h = _conv(False, cfg.block_out_channels[0], dtype=dt, name="conv_in")(x)
+        # the quantize pass would cost more than the conv); int8_wide overrides
+        h = _conv(cfg.int8_wide_arg, cfg.block_out_channels[0], dtype=dt,
+                  name="conv_in")(x)
 
         skips = [h]
         n = len(cfg.block_out_channels)
