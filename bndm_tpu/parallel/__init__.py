@@ -2,6 +2,7 @@ from bndm_tpu.parallel.mesh import (
     make_mesh,
     auto_mesh,
     shard_batch,
+    shard_host_local_batch,
     replicate,
     data_parallel_sharding,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "make_mesh",
     "auto_mesh",
     "shard_batch",
+    "shard_host_local_batch",
     "replicate",
     "data_parallel_sharding",
     "init_distributed",

@@ -72,4 +72,5 @@ def main(batch=500, steps=250, res=64):
 
 
 if __name__ == "__main__":
-    main()
+    # optional size overrides for smoke runs: batch steps res
+    main(*map(int, sys.argv[1:]))

@@ -112,4 +112,5 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
 
 
 if __name__ == "__main__":
-    main()
+    # optional size overrides for smoke runs: batch steps res calib_batch
+    main(*map(int, sys.argv[1:]))
