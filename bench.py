@@ -138,6 +138,55 @@ def _bench_sampling_int8(batch=500, steps=250, res=64, calib_batch=8):
     return batch / dt, dt, m_sta, p_sta
 
 
+def _bench_sampling_static_gn(batch=500, steps=250, res=64, calib_batch=8):
+    """int8-static + static-calibrated GroupNorm serving tier (r3): one joint
+    conv+GN calibration trajectory, then every GroupNorm collapses to a fused
+    FMA with per-(site, step) constants — attacks the GN/SiLU HBM wall that
+    is 47% of the exact-GN step. Gate-passed on v5e: 20.93 vs 18.38
+    samples/s = 1.139x, SSIM 0.9996 / PSNR 40.4 dB vs exact-GN int8-static
+    on identical x0 (scripts/bench_static_gn.py). Returns (sps, dt, model,
+    params) for the microbatched follow-up."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
+    from bndm_tpu.ops.int8 import calibrate_sampling
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    base = unet_config_for_res(res, in_channels=3, out_channels=6,
+                               dtype="bfloat16", norm_dtype="bfloat16",
+                               conv_int8=True)
+    m_cal = UNet2D(dataclasses.replace(base, int8_mode="calibrate",
+                                       gn_mode="calibrate", gn_steps=steps))
+    m_sta = UNet2D(dataclasses.replace(base, int8_mode="static",
+                                       gn_mode="static", gn_steps=steps))
+    params = m_cal.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32),
+        jnp.zeros((1,)))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
+    quant = calibrate_sampling(
+        m_cal, {"params": params["params"]}, x0[:calib_batch], steps,
+        scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0), two_head=True)
+    p_sta = {"params": params["params"], "quant": quant}
+
+    def run(p, x):
+        out, _ = sample_iadb(
+            m_sta.apply, p, x,
+            nb_steps=steps, scheduler_gamma="sigmoid",
+            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+        )
+        return out
+
+    _fetch(run(p_sta, x0))
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+    t0 = time.perf_counter()
+    _fetch(run(p_sta, x1))
+    dt = time.perf_counter() - t0
+    return batch / dt, dt, m_sta, p_sta
+
+
 def _bench_sampling_microbatched(model, params, total=1000, microbatch=500,
                                  steps=250, res=64):
     """Gallery serving at effective batch `total` via the microbatched scan
@@ -249,8 +298,22 @@ def main():
         sps, sample_dt, mode = sps_int8, sample_dt_int8, "int8-static serving"
     else:
         sps, sample_dt, mode = sps_bf16, sample_dt_bf16, "bf16"
+    # static-GN serving tier (r3, gate-passed: SSIM 0.9996 / PSNR 40.4 dB vs
+    # exact-GN on identical x0 — scripts/bench_static_gn.py); BENCH_GN=0
+    # drops back to the exact-GN serving path
+    sps_gn = None
+    if (sps_int8 is not None and os.environ.get("BENCH_GN", "1") != "0"
+            and os.environ.get("BENCH_INT8", "1") != "0"):
+        try:
+            sps_gn, sample_dt_gn, m_gn, p_gn = _bench_sampling_static_gn()
+            if sps_gn > sps:
+                sps, sample_dt = sps_gn, sample_dt_gn
+                mode = "int8-static + static-GN serving"
+                m_sta, p_sta = m_gn, p_gn  # microbatch the fastest tier
+        except Exception as e:  # noqa: BLE001
+            print(f"static-GN bench failed ({e})", flush=True)
     # gallery serving at effective batch 1000 (microbatched scan) on the
-    # winning int8-static configuration; BENCH_MB=0 skips
+    # fastest serving configuration; BENCH_MB=0 skips
     sps_mb = None
     mb_batch = None
     if m_sta is not None and os.environ.get("BENCH_MB", "1") != "0":
@@ -260,7 +323,7 @@ def main():
                 m_sta, p_sta, total=mb_batch)
             if sps_mb > sps:
                 sps, sample_dt = sps_mb, sample_dt_mb
-                mode = f"int8-static microbatched (eff. bs={mb_batch})"
+                mode += f" microbatched (eff. bs={mb_batch})"
         except Exception as e:  # noqa: BLE001
             print(f"microbatched bench failed ({e})", flush=True)
     mpix_s, noise_dt = _bench_noise()
@@ -280,7 +343,7 @@ def main():
         baseline_sps = float("nan")
         vs_baseline = float("nan")
 
-    eff_bs = mb_batch if mode.startswith("int8-static microbatched") else 500
+    eff_bs = mb_batch if "microbatched" in mode else 500
     print(json.dumps({
         "metric": f"samples/sec/chip (IADB-BN res64, 250 steps, bs={eff_bs})",
         "value": round(sps, 3),
@@ -290,7 +353,12 @@ def main():
             "mode": mode,
             "bf16_sps": round(sps_bf16, 3),
             "int8_static_sps": round(sps_int8, 3) if sps_int8 else None,
-            "int8_microbatched_sps": round(sps_mb, 3) if sps_mb else None,
+            "static_gn_sps": round(sps_gn, 3) if sps_gn else None,
+            # provenance ref, not measured in-run (scripts/bench_static_gn.py)
+            "static_gn_fidelity_ref": ("SSIM 0.9996 / PSNR 40.4 dB vs "
+                                       "exact-GN on identical x0 (r3, v5e)"
+                                       if sps_gn else None),
+            "microbatched_sps": round(sps_mb, 3) if sps_mb else None,
             "microbatched_effective_batch": mb_batch if sps_mb else None,
             # provenance reference, NOT measured in this run — the fidelity
             # gate lives in scripts/bench_int8_static.py (r2, v5e)

@@ -97,6 +97,13 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof)")
+    p.add_argument("--static_gn", action="store_true",
+                   help="serving: collapse every GroupNorm to a fused FMA "
+                        "with per-(site,step) statistics calibrated on one "
+                        "exact trajectory (ops/static_norm.py). Gate-passed "
+                        "on v5e: 1.139x over exact-GN int8-static at SSIM "
+                        "0.9996 / PSNR 40.4 dB. Requires linear alpha; "
+                        "composes with --conv_int8")
     p.add_argument("--microbatch", type=int, default=None,
                    help="gallery serving: denoise each --batch_size batch as "
                         "one compiled scan over microbatches of this size "
@@ -293,17 +300,29 @@ def run_test(opt):
         sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
                       np.float32)
 
-    if opt.conv_int8 and opt.int8_mode == "static":
-        # serving path: calibrate constant activation scales on ONE exact
-        # (fp32-conv) small-batch trajectory, then sample int8-static —
-        # measured 1.116x bf16 at SSIM 1.0 / PSNR 49 dB (PARITY.md §6)
+    if opt.static_gn and opt.scheduler_alpha != "linear":
+        raise SystemExit("--static_gn requires the linear alpha schedule "
+                         "(the per-step GN tables are indexed by "
+                         "round(alpha*T) — ops/static_norm.py)")
+    if (opt.conv_int8 and opt.int8_mode == "static") or opt.static_gn:
+        # serving path: calibrate constant conv activation scales and/or
+        # per-(site,step) GroupNorm statistics on ONE exact small-batch
+        # trajectory, then sample with static constants — int8-static is
+        # 1.116x bf16 at SSIM 1.0 / PSNR 49 dB; +static-GN is a further
+        # 1.139x at SSIM 0.9996 / PSNR 40.4 dB (PARITY.md §6)
         import dataclasses
 
         from bndm_tpu.models.unet2d import UNet2D
         from bndm_tpu.ops.int8 import calibrate_sampling
 
-        m_cal = UNet2D(dataclasses.replace(model.cfg, int8_mode="calibrate"))
-        model = UNet2D(dataclasses.replace(model.cfg, int8_mode="static"))
+        cal_kw, sta_kw = {}, {}
+        if opt.conv_int8 and opt.int8_mode == "static":
+            cal_kw["int8_mode"], sta_kw["int8_mode"] = "calibrate", "static"
+        if opt.static_gn:
+            cal_kw.update(gn_mode="calibrate", gn_steps=opt.nb_steps)
+            sta_kw.update(gn_mode="static", gn_steps=opt.nb_steps)
+        m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
+        model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
         x_cal = jax.random.normal(
             ckey, (min(8, opt.batch_size), 3, opt.res, opt.res), jnp.float32)
@@ -314,8 +333,8 @@ def run_test(opt):
             scheduler_gamma=opt.scheduler_gamma, gamma_params=jnp.asarray(sp),
             two_head=tcfg.two_head)
         params = {"params": params.get("params", params), "quant": quant}
-        print(f"int8 static calibration: {time.time()-t0:.1f}s "
-              f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
+        print(f"serving calibration: {time.time()-t0:.1f}s "
+              f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
 
     # gallery-scale sampling shards the batch across chips (replaces the
     # reference's DataParallel scatter/gather, iadb_bn.py:716)

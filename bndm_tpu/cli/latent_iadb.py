@@ -259,17 +259,26 @@ def run_test(args):
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
     lat_res = args.resolution // 8
 
-    if args.conv_int8 and getattr(args, "int8_mode", "static") == "static":
-        # int8-static serving path (same flow as the pixel CLI): calibrate
-        # constant activation scales on one exact small trajectory; the
-        # latent sampler uses linear alpha=gamma, calibrate_sampling's
-        # defaults (latent_...:602-604)
+    if (args.conv_int8 and getattr(args, "int8_mode", "static") == "static") \
+            or args.static_gn:
+        # serving path (same flow as the pixel CLI): calibrate constant conv
+        # activation scales and/or per-step GroupNorm statistics on one
+        # exact small trajectory; the latent sampler uses linear alpha=gamma,
+        # calibrate_sampling's defaults (latent_...:602-604)
         import dataclasses
 
         from bndm_tpu.ops.int8 import calibrate_sampling
 
-        m_cal = UNet2D(dataclasses.replace(cfg, int8_mode="calibrate"))
-        model = UNet2D(dataclasses.replace(cfg, int8_mode="static"))
+        cal_kw, sta_kw = {}, {}
+        if args.conv_int8 and getattr(args, "int8_mode", "static") == "static":
+            cal_kw["int8_mode"], sta_kw["int8_mode"] = "calibrate", "static"
+        if args.static_gn:
+            cal_kw.update(gn_mode="calibrate",
+                          gn_steps=args.ddpm_num_inference_steps)
+            sta_kw.update(gn_mode="static",
+                          gn_steps=args.ddpm_num_inference_steps)
+        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
+        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         # dedicated generator: drawing from the global numpy RNG would shift
         # the sampling noise stream, breaking identical-x0 fidelity
         # comparisons between --conv_int8 and bf16 runs at the same --seed

@@ -93,7 +93,8 @@ def test_latent_int8_static_serving(workdir):
     ]
     main(common + ["--train_or_test=train", "--train_batch_size=4", "--num_epochs=1",
                    "--max_steps=2", "--lr_warmup_steps=0"])
+    # --static_gn composes with int8-static (joint conv+GN calibration)
     main(common + ["--train_or_test=test", "--eval_batch_size=2", "--test_samples=2",
-                   "--conv_int8", "--int8_mode=static"])
+                   "--conv_int8", "--int8_mode=static", "--static_gn"])
     out = workdir / "results_gaussianBN" / "latent_int8_gaussianBN"
     assert len(list((out / "images").glob("*.png"))) == 2

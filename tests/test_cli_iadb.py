@@ -71,3 +71,25 @@ def test_int8_static_serving_path(workdir):
     out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
     imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
     assert len(list(imgdir.glob("*.png"))) == 2
+
+
+def test_static_gn_serving_path(workdir, capsys):
+    """--static_gn (+ --conv_int8): joint conv+GN calibration + static
+    serving through the CLI (the r3 gate-passed configuration), plus the
+    linear-alpha guard."""
+    import pytest
+
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2", "--lr=1e-4"])
+    main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                   "--save_all_samples", "--conv_int8", "--int8_mode=static",
+                   "--static_gn", "--microbatch=1"])
+    out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) == 2
+    assert "serving calibration" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="linear alpha"):
+        main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                       "--static_gn", "--scheduler_alpha=sigmoid"])
