@@ -288,7 +288,7 @@ def run_test(args):
         quant = calibrate_sampling(m_cal, params, x_cal,
                                    args.ddpm_num_inference_steps, two_head=two_head)
         params = {"params": params.get("params", params), "quant": quant}
-        print(f"int8 static calibration done "
+        print(f"serving calibration done "
               f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0

@@ -87,6 +87,11 @@ class UNet2DConfig:
     # experiment attacking the GN/SiLU bandwidth wall). calibrate/static need
     # gn_steps = the sampler's nb_steps and the LINEAR alpha schedule.
     gn_steps: int = 0
+    conv_out_dtype: str = "float32"  # the final conv's compute/output dtype.
+    # fp32 is the parity default; the r3 static-GN profile shows this conv is
+    # the single largest per-step op (4.6 ms/step at bs=500 — tiny FLOPs but
+    # an f32[500,6,64,64] write + poor MXU layout), so serving may relax it
+    # to bf16 under the usual SSIM/PSNR gate (scripts/bench_static_gn.py)
 
     @property
     def int8_arg(self):
@@ -541,5 +546,6 @@ class UNet2D(nn.Module):
         h = _gn(cfg.norm_num_groups, cfg.norm_eps, cfg.gn_dtype, cfg.gn_mode,
                 cfg.gn_steps, "conv_norm_out")(h, step_idx)
         h = ACT[cfg.act_fn](h).astype(dt)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32, name="conv_out")(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1,
+                    dtype=jnp.dtype(cfg.conv_out_dtype), name="conv_out")(h)
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW

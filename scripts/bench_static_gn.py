@@ -17,6 +17,7 @@ negative result is recorded in PARITY.md with the trace.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -89,11 +90,30 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
                                        "quant": quant},
                         "int8-static + static-GN")
 
+    # 3b. + bf16 conv_out (the r3 profile's largest per-step op is the fp32
+    # final conv); same quant tree (conv_out is not an int8/GN site)
+    out_o = dt_o = None
+    if os.environ.get("CONVOUT_BF16", "1") != "0":
+        m_stao = UNet2D(dataclasses.replace(m_stag.cfg,
+                                            conv_out_dtype="bfloat16"))
+        out_o, dt_o = timed(m_stao.apply, {"params": params["params"],
+                                           "quant": quant},
+                            "int8-static + static-GN + bf16 conv_out")
+
     # 4. fidelity vs exact-GN serving on identical x0
     a = jnp.clip((out_b + 1) / 2, 0, 1)
     b = jnp.clip((out_g + 1) / 2, 0, 1)
     ssim_v = float(jnp.mean(ssim(b, a)))
     psnr_v = float(jnp.mean(psnr(b, a)))
+    convout = {}
+    if out_o is not None:
+        c = jnp.clip((out_o + 1) / 2, 0, 1)
+        convout = {
+            "convout_bf16_sps": round(batch / dt_o, 3),
+            "convout_bf16_speedup_vs_static_gn": round(dt_g / dt_o, 3),
+            "convout_bf16_ssim": round(float(jnp.mean(ssim(c, a))), 4),
+            "convout_bf16_psnr_db": round(float(jnp.mean(psnr(c, a))), 2),
+        }
     print(json.dumps({
         "metric": "static-GN serving vs exact-GN int8-static (identical x0)",
         "value": round(batch / dt_g, 3),
@@ -106,6 +126,7 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
             "max_abs_delta": round(float(jnp.max(jnp.abs(out_g - out_b))), 4),
             "gate": "pass" if (dt_b / dt_g > 1.0 and ssim_v >= 0.99
                                and psnr_v >= 35.0) else "fail",
+            **convout,
             "device": str(jax.devices()[0]),
         },
     }))

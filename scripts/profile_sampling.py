@@ -32,9 +32,15 @@ def run_and_trace(outdir, batch=500, steps=250, res=64):
 
     _setup_compile_cache()
     int8 = os.environ.get("PROFILE_INT8") == "1"
+    static_gn = os.environ.get("PROFILE_STATIC_GN") == "1"  # implies int8
+    int8 = int8 or static_gn
+    gn_kw = dict(gn_mode="static", gn_steps=steps) if static_gn else {}
+    import dataclasses
+
     cfg = unet_config_for_res(res, in_channels=3, out_channels=6, dtype="bfloat16",
                               norm_dtype="bfloat16",
                               conv_int8=int8, int8_mode="static")
+    cfg = dataclasses.replace(cfg, **gn_kw)
     model = UNet2D(cfg)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32), jnp.zeros((1,))
@@ -43,9 +49,13 @@ def run_and_trace(outdir, batch=500, steps=250, res=64):
         # static scales from a short calibration run (exact fp32 trajectory)
         from bndm_tpu.ops.int8 import calibrate_sampling
 
-        m_cal = UNet2D(unet_config_for_res(res, in_channels=3, out_channels=6,
-                                           dtype="bfloat16", norm_dtype="bfloat16",
-                                           conv_int8=True, int8_mode="calibrate"))
+        cal_cfg = unet_config_for_res(res, in_channels=3, out_channels=6,
+                                      dtype="bfloat16", norm_dtype="bfloat16",
+                                      conv_int8=True, int8_mode="calibrate")
+        if static_gn:
+            cal_cfg = dataclasses.replace(cal_cfg, gn_mode="calibrate",
+                                          gn_steps=steps)
+        m_cal = UNet2D(cal_cfg)
         x_cal = jax.random.normal(jax.random.PRNGKey(9), (8, 3, res, res), jnp.float32)
         quant = calibrate_sampling(m_cal, params, x_cal, steps,
                                    scheduler_gamma="sigmoid",
