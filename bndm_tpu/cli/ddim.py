@@ -196,6 +196,10 @@ def run_test(args):
             prediction_type=args.prediction_type,
         )
 
+    if args.static_gn:
+        print("WARNING: --static_gn is not supported by the DDIM baseline "
+              "(integer timesteps cannot index the per-step GN tables); "
+              "sampling with exact GroupNorm")
     if args.conv_int8 and args.int8_mode == "static":
         # int8-static serving (same scheme as the IADB CLIs): calibrate
         # constant activation scales on one exact small-batch DDIM

@@ -38,3 +38,22 @@ def test_wandb_logger_warns(capsys):
 def test_tensorboard_logger_silent(capsys):
     parse_args(["--logger=tensorboard"])
     assert "WARNING" not in capsys.readouterr().out
+
+
+def test_ddim_static_gn_warns(tmp_path, monkeypatch, capsys):
+    """--static_gn on the DDIM CLI must warn visibly, not silently no-op."""
+    import numpy as np
+
+    from bndm_tpu.cli.ddim import main
+    from bndm_tpu.data.imagefolder import make_synthetic_folder
+
+    monkeypatch.chdir(tmp_path)
+    make_synthetic_folder(str(tmp_path / "data" / "tinycat"), n=4, res=64)
+    common = ["--dataset_name=tinycat", "--resolution=64", "--tiny_model",
+              "--output_dir=ddim_warn", "--compute_dtype=float32",
+              "--ddpm_num_inference_steps=4"]
+    main(common + ["--train_or_test=train", "--train_batch_size=4",
+                   "--num_epochs=1", "--max_steps=1", "--lr_warmup_steps=0"])
+    main(common + ["--train_or_test=test", "--eval_batch_size=1",
+                   "--test_samples=1", "--static_gn"])
+    assert "static_gn is not supported" in capsys.readouterr().out
