@@ -25,6 +25,9 @@ def __getattr__(name):
         "unet_config_for_res": ("bndm_tpu.models.unet2d", "unet_config_for_res"),
         "AutoencoderKL": ("bndm_tpu.models.vae", "AutoencoderKL"),
         "sample_iadb": ("bndm_tpu.samplers.iadb", "sample_iadb"),
+        "sample_iadb_microbatched": ("bndm_tpu.samplers.iadb",
+                                     "sample_iadb_microbatched"),
+        "make_serving_sampler": ("bndm_tpu.serving", "make_serving_sampler"),
         "IADBScheduler": ("bndm_tpu.samplers.iadb", "IADBScheduler"),
         "DDIMScheduler": ("bndm_tpu.samplers.ddim", "DDIMScheduler"),
         "sample_ddim": ("bndm_tpu.samplers.ddim", "sample_ddim"),

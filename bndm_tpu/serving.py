@@ -1,0 +1,116 @@
+"""Production serving API: the validated fastest sampling configuration in
+one call.
+
+The serving tiers (each fidelity-gated on v5e, PARITY.md §6):
+  bf16              16.45 samples/s/chip   (parity path)
+  + int8-static     18.39  (SSIM 1.0 / PSNR 49 dB vs bf16)
+  + static-GN       20.93  (SSIM 0.9996 / PSNR 40 dB vs exact-GN)
+  + microbatched    20.98 at effective batch 1000+ (no HBM ceiling)
+
+``make_serving_sampler`` builds the calibrate/static model pair, runs the
+one-off exact calibration trajectory (conv activation scales + per-step
+GroupNorm statistics), and returns a closure that samples with the static
+constants — full-batch, or scanning microbatches when ``microbatch`` is set.
+The CLIs (--conv_int8/--static_gn/--microbatch) expose the same path; this
+is the library surface.
+
+Reference counterpart: the test branch of iadb_bn.py (:686-820) — eager
+per-step torch with none of these tiers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_serving_sampler(
+    cfg,
+    params,
+    nb_steps,
+    *,
+    conv_int8: bool = True,
+    static_gn: bool = True,
+    microbatch: Optional[int] = None,
+    calib_batch: int = 8,
+    key: Optional[jax.Array] = None,
+    scheduler_alpha: str = "linear",
+    alpha_param: float = 0.02,
+    scheduler_gamma: str = "linear",
+    gamma_params=(1.0, 0.0, 3.0),
+    two_head: Optional[bool] = None,
+):
+    """Calibrate once, then serve.
+
+    ``cfg``: a UNet2DConfig (any dtype); ``params``: its params (with or
+    without the top-level {"params": ...} wrapper). Returns ``sample(x0)``
+    -> denoised batch; when ``microbatch`` is set, x0's batch must divide by
+    it and the buffer is donated (pass a fresh/copied array).
+
+    ``static_gn`` requires the linear alpha schedule (ops/static_norm.py).
+    """
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.ops.int8 import calibrate_sampling
+    from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_microbatched
+
+    if static_gn and scheduler_alpha != "linear":
+        raise ValueError("static_gn requires the linear alpha schedule")
+    if two_head is None:
+        two_head = cfg.out_channels == 2 * cfg.in_channels
+    params = params.get("params", params)
+
+    cal_kw, sta_kw = {}, {}
+    if conv_int8:
+        cal_kw.update(conv_int8=True, int8_mode="calibrate")
+        sta_kw.update(conv_int8=True, int8_mode="static")
+    if static_gn:
+        cal_kw.update(gn_mode="calibrate", gn_steps=nb_steps)
+        sta_kw.update(gn_mode="static", gn_steps=nb_steps)
+
+    if not cal_kw:  # nothing to calibrate: plain jitted sampler
+        model = UNet2D(cfg)
+        p_serve = {"params": params}
+    else:
+        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
+        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # calibration needs input shapes -> lazily run on the first sample()
+        p_serve = None
+
+    gp = jnp.asarray(gamma_params, jnp.float32)
+
+    def _calibrate(x_like):
+        nonlocal p_serve
+        x_cal = jax.random.normal(
+            key, (min(calib_batch, x_like.shape[0]),) + x_like.shape[1:],
+            jnp.float32)
+        quant = calibrate_sampling(
+            m_cal, params, x_cal, nb_steps,
+            scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
+            scheduler_gamma=scheduler_gamma, gamma_params=gp,
+            two_head=two_head)
+        p_serve = {"params": params, "quant": quant}
+
+    def sample(x0):
+        """Denoise x0 (N, C, H, W) with the serving configuration."""
+        if p_serve is None:
+            _calibrate(x0)
+        if microbatch and x0.shape[0] > microbatch \
+                and x0.shape[0] % microbatch == 0:
+            return sample_iadb_microbatched(
+                model.apply, p_serve, x0, microbatch=microbatch,
+                nb_steps=nb_steps, scheduler_alpha=scheduler_alpha,
+                alpha_param=alpha_param, scheduler_gamma=scheduler_gamma,
+                gamma_params=gp, two_head=two_head)
+        out, _ = sample_iadb(
+            model.apply, p_serve, x0, nb_steps=nb_steps,
+            scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
+            scheduler_gamma=scheduler_gamma, gamma_params=gp,
+            two_head=two_head)
+        return out
+
+    return sample

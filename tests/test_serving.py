@@ -1,0 +1,57 @@
+"""Library serving API (bndm_tpu.serving.make_serving_sampler): the
+calibrate-once int8-static + static-GN + microbatched flow in one call."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bndm_tpu.models.unet2d import UNet2D, UNet2DConfig
+from bndm_tpu.serving import make_serving_sampler
+
+TINY = UNet2DConfig(
+    in_channels=3, out_channels=6, block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    attention_head_dim=4, norm_num_groups=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    m = UNet2D(TINY)
+    return m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)),
+                  jnp.zeros((1,)))
+
+
+def test_full_serving_tier(tiny_params):
+    sample = make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                                  conv_int8=True, static_gn=True,
+                                  microbatch=2)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3, 16, 16)),
+                     jnp.float32)
+    out = sample(jnp.array(x0))  # microbatched path donates the buffer
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # second call reuses the calibration (no recalibration crash, full-batch
+    # path when the batch does not exceed the microbatch)
+    out2 = sample(x0[:2])
+    assert out2.shape == (2, 3, 16, 16)
+
+
+def test_plain_tier_matches_sample_iadb(tiny_params):
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    sample = make_serving_sampler(TINY, tiny_params, nb_steps=5,
+                                  conv_int8=False, static_gn=False)
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal((2, 3, 16, 16)),
+                     jnp.float32)
+    got = sample(x0)
+    m = UNet2D(TINY)
+    want, _ = sample_iadb(m.apply, tiny_params, x0, nb_steps=5, two_head=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_static_gn_needs_linear_alpha(tiny_params):
+    with pytest.raises(ValueError, match="linear"):
+        make_serving_sampler(TINY, tiny_params, nb_steps=5,
+                             scheduler_alpha="sigmoid", static_gn=True)
