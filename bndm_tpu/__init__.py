@@ -28,6 +28,8 @@ def __getattr__(name):
         "sample_iadb_microbatched": ("bndm_tpu.samplers.iadb",
                                      "sample_iadb_microbatched"),
         "make_serving_sampler": ("bndm_tpu.serving", "make_serving_sampler"),
+        "make_serving_sampler_ddim": ("bndm_tpu.serving",
+                                      "make_serving_sampler_ddim"),
         "IADBScheduler": ("bndm_tpu.samplers.iadb", "IADBScheduler"),
         "DDIMScheduler": ("bndm_tpu.samplers.ddim", "DDIMScheduler"),
         "sample_ddim": ("bndm_tpu.samplers.ddim", "sample_ddim"),

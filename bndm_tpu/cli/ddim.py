@@ -196,20 +196,28 @@ def run_test(args):
             prediction_type=args.prediction_type,
         )
 
-    if args.static_gn:
-        print("WARNING: --static_gn is not supported by the DDIM baseline "
-              "(integer timesteps cannot index the per-step GN tables); "
-              "sampling with exact GroupNorm")
-    if args.conv_int8 and args.int8_mode == "static":
-        # int8-static serving (same scheme as the IADB CLIs): calibrate
-        # constant activation scales on one exact small-batch DDIM
-        # trajectory, then sample W8A8 with static scales
+    if (args.conv_int8 and args.int8_mode == "static") or args.static_gn:
+        # serving calibration (same scheme as the IADB CLIs): one exact
+        # small-batch DDIM trajectory records constant int8 activation
+        # scales and/or per-(site, step) GroupNorm statistics; sampling then
+        # runs W8A8 with static scales / one-FMA static GN. DDIM's GN tables
+        # are keyed on scan position (pass_step_idx below) since its integer
+        # timesteps carry no index (ops/static_norm.py)
         import dataclasses
 
         from bndm_tpu.ops.int8 import calibrate_sampling_ddim
 
-        m_cal = UNet2D(dataclasses.replace(model.cfg, int8_mode="calibrate"))
-        model = UNet2D(dataclasses.replace(model.cfg, int8_mode="static"))
+        cal_kw, sta_kw = {}, {}
+        if args.conv_int8 and args.int8_mode == "static":
+            cal_kw.update(int8_mode="calibrate")
+            sta_kw.update(int8_mode="static")
+        if args.static_gn:
+            cal_kw.update(gn_mode="calibrate",
+                          gn_steps=args.ddpm_num_inference_steps)
+            sta_kw.update(gn_mode="static",
+                          gn_steps=args.ddpm_num_inference_steps)
+        m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
+        model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777)
         x_cal = jax.random.normal(
             ckey, (min(8, args.eval_batch_size), 3, args.resolution,
@@ -218,8 +226,8 @@ def run_test(args):
         quant = calibrate_sampling_ddim(m_cal, params, x_cal, scheduler,
                                         args.ddpm_num_inference_steps)
         params = {"params": params.get("params", params), "quant": quant}
-        print(f"int8 static calibration: {time.time()-t0:.1f}s "
-              f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
+        print(f"serving calibration: {time.time()-t0:.1f}s "
+              f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
 
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)
@@ -256,7 +264,8 @@ def run_test(args):
         def _run():
             o, f = sample_ddim(model.apply, params, x0, scheduler=scheduler,
                                num_inference_steps=args.ddpm_num_inference_steps,
-                               collect_frames=True)
+                               collect_frames=True,
+                               pass_step_idx=bool(args.static_gn))
             return jax.block_until_ready(o), f
 
         t0 = time.time()

@@ -90,10 +90,11 @@ def build_parser():
                         "calibrates on an IADB trajectory, the DDIM baseline "
                         "on a DDIM trajectory; training uses dynamic (QAT)")
     p.add_argument("--static_gn", action="store_true",
-                   help="latent IADB serving: static-calibrated GroupNorm "
-                        "statistics (per-site, per-step; ops/static_norm.py)."
-                        " Not supported by the DDIM baseline (integer "
-                        "timesteps cannot index the per-step tables)")
+                   help="serving: static-calibrated GroupNorm statistics "
+                        "(per-site, per-step; ops/static_norm.py). The "
+                        "latent IADB CLI indexes the tables via the linear "
+                        "alpha; the DDIM baseline keys them on the "
+                        "sampler's scan position")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
     p.add_argument("--profile_dir", type=str, default=None,

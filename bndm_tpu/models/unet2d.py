@@ -487,7 +487,7 @@ class UNet2D(nn.Module):
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, deterministic=True):
+    def __call__(self, x, timesteps, deterministic=True, step_idx=None):
         cfg = self.cfg
         dt = cfg.compute_dtype
         if jnp.ndim(timesteps) == 0:
@@ -495,8 +495,11 @@ class UNet2D(nn.Module):
 
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(dt)  # NCHW -> NHWC
 
-        step_idx = None
-        if cfg.gn_mode != "dynamic":
+        if step_idx is not None:
+            # explicit trajectory index (DDIM: the sampler's scan position —
+            # its integer timesteps carry no usable index, samplers/ddim.py)
+            step_idx = jnp.asarray(step_idx, jnp.int32)
+        elif cfg.gn_mode != "dynamic":
             # IADB passes alpha = (t+1)/T as the timestep; with LINEAR alpha
             # (every published run config) this recovers the integer step t
             # for the calibrated-GN tables (ops/static_norm.py module doc)

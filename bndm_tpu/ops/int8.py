@@ -164,8 +164,11 @@ def calibrate_sampling_ddim(model, params, x0, scheduler, num_inference_steps,
     mode — VERDICT r2 weak #4). Runs one exact (fp32-conv) DDIM reverse loop
     through the calibrate-mode model, recording each conv site's running
     activation amax; the returned 'quant' tree powers the
-    ``int8_mode='static'`` model. Step math mirrors the reference test loop
-    (ddim_diffusers.py:674-683) via ``DDIMScheduler.step``.
+    ``int8_mode='static'`` model. A model built with ``gn_mode='calibrate'``
+    additionally records per-(site, step) GroupNorm statistics keyed on the
+    scan position (joint conv+GN calibration, same as the IADB path). Step
+    math mirrors the reference test loop (ddim_diffusers.py:674-683) via
+    ``DDIMScheduler.step``.
     """
     scheduler.set_timesteps(num_inference_steps)
     ts = jnp.asarray(scheduler.timesteps_np)
@@ -180,15 +183,20 @@ def calibrate_sampling_ddim(model, params, x0, scheduler, num_inference_steps,
     # into the HLO as constants — the axon relay rejects such payloads)
     @jax.jit
     def run(params, x0, quant):
-        def body(carry, t):
+        def body(carry, inp):
             x, q = carry
+            t, i = inp
             tt = jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],))
+            # step_idx = scan position: the key the per-step GN tables use
+            # for DDIM (integer timesteps carry no index; samplers/ddim.py
+            # static-GN sampling passes the same index via pass_step_idx)
             d, mut = model.apply({"params": params, "quant": q}, x, tt,
-                                 mutable=["quant"])
+                                 step_idx=i, mutable=["quant"])
             x = scheduler.step(d, t, x)
             return (x, mut["quant"]), None
 
-        (_, q), _ = jax.lax.scan(body, (x0, quant), ts)
+        idx = jnp.arange(ts.shape[0])
+        (_, q), _ = jax.lax.scan(body, (x0, quant), (ts, idx))
         return q
 
     return jax.device_get(run(params, x0, quant))

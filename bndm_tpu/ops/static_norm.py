@@ -24,9 +24,13 @@ Modes (mirroring ops/int8.Int8Conv):
 Step indexing: the IADB sampler passes the continuous alpha = (t+1)/T as the
 "timestep" (reference iadb_bn.py:319); with the linear alpha schedule (every
 published run config) round(alpha * T) - 1 recovers t exactly, so the tables
-are indexed without threading a separate step input through the model.
-Calibrate/static modes require linear alpha; DDIM's integer timesteps are
-not supported (its baseline keeps exact GN).
+are indexed without threading a separate step input through the model
+(IADB calibrate/static therefore require linear alpha). DDIM's integer
+timesteps carry no usable index, so its sampler threads the scan position
+explicitly instead: ``sample_ddim(..., pass_step_idx=True)`` and
+``calibrate_sampling_ddim`` both key the tables on trajectory position
+(0 = highest-t step), overriding the alpha recovery via the model's
+``step_idx`` argument.
 
 Parameter tree is identical to ``nn.GroupNorm`` ('scale' + 'bias'), so
 checkpoints and the converter are untouched.

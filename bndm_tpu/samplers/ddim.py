@@ -139,13 +139,21 @@ class DDIMScheduler:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("apply_fn", "scheduler", "num_inference_steps", "collect_frames")
+    jax.jit, static_argnames=("apply_fn", "scheduler", "num_inference_steps",
+                              "collect_frames", "pass_step_idx")
 )
-def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps, collect_frames=False):
+def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps,
+                collect_frames=False, pass_step_idx=False):
     """DDIM reverse loop as one lax.scan. Returns (x, frames | None).
 
     Frames mirror the reference test loop (ddim_diffusers.py:667-685): x[0:1]
     is logged after the update whenever t % 100 == 0, plus the initial noise.
+
+    ``pass_step_idx``: call ``apply_fn(params, x, t, step_idx=i)`` with the
+    scan position i (0 = first/highest-t step) — the trajectory index the
+    static-calibrated GroupNorm tables are keyed on for DDIM, whose integer
+    timesteps (unlike IADB's alpha) don't encode their own position
+    (ops/static_norm.py; calibrate with ops/int8.calibrate_sampling_ddim).
     """
     scheduler.set_timesteps(num_inference_steps)
     ts_np = scheduler.timesteps_np
@@ -168,7 +176,10 @@ def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps, collect
         x, frames = carry
         t, i = inp
         tt = jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],))
-        d = apply_fn(params, x, tt)
+        if pass_step_idx:
+            d = apply_fn(params, x, tt, step_idx=i)
+        else:
+            d = apply_fn(params, x, tt)
         x = scheduler.step(d, t, x)
         if frames is not None:
             slot = slots[i]

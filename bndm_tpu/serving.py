@@ -114,3 +114,64 @@ def make_serving_sampler(
         return out
 
     return sample
+
+
+def make_serving_sampler_ddim(
+    cfg,
+    params,
+    scheduler,
+    num_inference_steps,
+    *,
+    conv_int8: bool = True,
+    static_gn: bool = True,
+    calib_batch: int = 8,
+    key: Optional[jax.Array] = None,
+):
+    """DDIM-baseline counterpart of :func:`make_serving_sampler`.
+
+    Same calibrate-once-then-serve flow over a DDIM trajectory
+    (ops/int8.py::calibrate_sampling_ddim). The static-GN tables are keyed
+    on the sampler's scan position — DDIM's integer timesteps carry no
+    index — so sampling runs with ``pass_step_idx`` (samplers/ddim.py).
+    Returns ``sample(x0) -> denoised batch``.
+    """
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.ops.int8 import calibrate_sampling_ddim
+    from bndm_tpu.samplers.ddim import sample_ddim
+
+    params = params.get("params", params)
+    cal_kw, sta_kw = {}, {}
+    if conv_int8:
+        cal_kw.update(conv_int8=True, int8_mode="calibrate")
+        sta_kw.update(conv_int8=True, int8_mode="static")
+    if static_gn:
+        cal_kw.update(gn_mode="calibrate", gn_steps=num_inference_steps)
+        sta_kw.update(gn_mode="static", gn_steps=num_inference_steps)
+
+    if not cal_kw:
+        model = UNet2D(cfg)
+        p_serve = {"params": params}
+    else:
+        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
+        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        p_serve = None
+
+    def sample(x0):
+        """Denoise x0 (N, C, H, W) with the DDIM serving configuration."""
+        nonlocal p_serve
+        if p_serve is None:
+            x_cal = jax.random.normal(
+                key, (min(calib_batch, x0.shape[0]),) + x0.shape[1:],
+                jnp.float32)
+            quant = calibrate_sampling_ddim(
+                m_cal, params, x_cal, scheduler, num_inference_steps)
+            p_serve = {"params": params, "quant": quant}
+        out, _ = sample_ddim(
+            model.apply, p_serve, x0, scheduler=scheduler,
+            num_inference_steps=num_inference_steps,
+            pass_step_idx=static_gn)
+        return out
+
+    return sample

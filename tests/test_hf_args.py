@@ -40,9 +40,11 @@ def test_tensorboard_logger_silent(capsys):
     assert "WARNING" not in capsys.readouterr().out
 
 
-def test_ddim_static_gn_warns(tmp_path, monkeypatch, capsys):
-    """--static_gn on the DDIM CLI must warn visibly, not silently no-op."""
-    import numpy as np
+def test_ddim_static_gn_serving_path(tmp_path, monkeypatch, capsys):
+    """--static_gn on the DDIM CLI is honored (r3: tables keyed on scan
+    position via sample_ddim's pass_step_idx): calibration runs and sampling
+    produces images — not the r2 warning, and never a silent no-op."""
+    import os
 
     from bndm_tpu.cli.ddim import main
     from bndm_tpu.data.imagefolder import make_synthetic_folder
@@ -50,10 +52,14 @@ def test_ddim_static_gn_warns(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     make_synthetic_folder(str(tmp_path / "data" / "tinycat"), n=4, res=64)
     common = ["--dataset_name=tinycat", "--resolution=64", "--tiny_model",
-              "--output_dir=ddim_warn", "--compute_dtype=float32",
+              "--output_dir=ddim_sgn", "--compute_dtype=float32",
               "--ddpm_num_inference_steps=4"]
     main(common + ["--train_or_test=train", "--train_batch_size=4",
                    "--num_epochs=1", "--max_steps=1", "--lr_warmup_steps=0"])
     main(common + ["--train_or_test=test", "--eval_batch_size=1",
                    "--test_samples=1", "--static_gn"])
-    assert "static_gn is not supported" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "serving calibration" in out
+    assert "not supported" not in out
+    img_dir = tmp_path / "results_gaussianBN" / "ddim_sgn" / "images"
+    assert any(f.endswith(".png") for f in os.listdir(img_dir))

@@ -55,3 +55,28 @@ def test_static_gn_needs_linear_alpha(tiny_params):
     with pytest.raises(ValueError, match="linear"):
         make_serving_sampler(TINY, tiny_params, nb_steps=5,
                              scheduler_alpha="sigmoid", static_gn=True)
+
+
+def test_ddim_serving_tier():
+    """make_serving_sampler_ddim: calibrate-once int8-static + static-GN over
+    a DDIM trajectory (GN tables keyed on scan position)."""
+    from bndm_tpu.samplers.ddim import DDIMScheduler
+    from bndm_tpu.serving import make_serving_sampler_ddim
+
+    cfg = UNet2DConfig(
+        in_channels=3, out_channels=3, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        attention_head_dim=4, norm_num_groups=4)
+    params = UNet2D(cfg).init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 3, 16, 16)), jnp.zeros((1,)))
+    scheduler = DDIMScheduler(num_train_timesteps=8)
+    sample = make_serving_sampler_ddim(cfg, params, scheduler,
+                                       num_inference_steps=4)
+    x0 = jnp.asarray(np.random.default_rng(2).standard_normal((2, 3, 16, 16)),
+                     jnp.float32)
+    out = sample(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = sample(x0)  # reuses the calibration
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

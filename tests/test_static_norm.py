@@ -105,3 +105,40 @@ def test_unet_calibrate_then_static_sampling(tiny_gn_models):
         sta.apply, {"params": params["params"], "quant": quant}, x1,
         nb_steps=nb, two_head=True)
     assert np.isfinite(np.asarray(other)).all()
+
+
+def test_ddim_calibrate_then_static_sampling():
+    """DDIM static-GN serving flow (r3): the GN tables are keyed on scan
+    position — calibrate_sampling_ddim records them at index i, and
+    sample_ddim(pass_step_idx=True) reads them back at the same i — so with
+    batch-1 calibration, static sampling of the SAME x0 reproduces the
+    exact-GN DDIM samples (divergence is only fp noise)."""
+    from bndm_tpu.models.unet2d import UNet2D, UNet2DConfig
+    from bndm_tpu.ops.int8 import calibrate_sampling_ddim
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
+
+    steps = 4
+    kw = dict(in_channels=3, out_channels=3, block_out_channels=(8, 16),
+              down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+              up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+              attention_head_dim=4, norm_num_groups=4)
+    dyn = UNet2D(UNet2DConfig(**kw))
+    cal = UNet2D(UNet2DConfig(**kw, gn_mode="calibrate", gn_steps=steps))
+    sta = UNet2D(UNet2DConfig(**kw, gn_mode="static", gn_steps=steps))
+    params = dyn.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)),
+                      jnp.zeros((1,)))
+    x0 = _x((1, 3, 16, 16), 7)
+
+    scheduler = DDIMScheduler(num_train_timesteps=8)
+    quant = calibrate_sampling_ddim(cal, params, x0, scheduler,
+                                    num_inference_steps=steps)
+    leaves = jax.tree_util.tree_leaves_with_path(quant)
+    assert any("gn_mean" in jax.tree_util.keystr(p) for p, _ in leaves)
+
+    want, _ = sample_ddim(dyn.apply, params, x0, scheduler=scheduler,
+                          num_inference_steps=steps)
+    got, _ = sample_ddim(
+        sta.apply, {"params": params["params"], "quant": quant}, x0,
+        scheduler=scheduler, num_inference_steps=steps, pass_step_idx=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
