@@ -216,6 +216,9 @@ def run_test(args):
                           gn_steps=args.ddpm_num_inference_steps)
             sta_kw.update(gn_mode="static",
                           gn_steps=args.ddpm_num_inference_steps)
+        if args.attn_softmax_dtype != "float32":
+            # calibration stays exact (fp32 softmax); only serving relaxes
+            sta_kw.update(attn_softmax_dtype=args.attn_softmax_dtype)
         m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777)
@@ -228,6 +231,12 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
+    elif args.attn_softmax_dtype != "float32":
+        # relaxation without the calibrated tiers (no silent no-op)
+        import dataclasses
+
+        model = UNet2D(dataclasses.replace(
+            model.cfg, attn_softmax_dtype=args.attn_softmax_dtype))
 
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)

@@ -95,6 +95,12 @@ def build_parser():
                         "latent IADB CLI indexes the tables via the linear "
                         "alpha; the DDIM baseline keys them on the "
                         "sampler's scan position")
+    p.add_argument("--attn_softmax_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="serving: attention softmax dtype (fp32 = diffusers "
+                        "parity; bfloat16 removes the fp32 logit-upcast "
+                        "fusions, ~3%% of the serving step — fidelity-gated "
+                        "in scripts/bench_static_gn.py)")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
     p.add_argument("--profile_dir", type=str, default=None,

@@ -104,6 +104,13 @@ def parse_args(argv=None):
                         "on v5e: 1.139x over exact-GN int8-static at SSIM "
                         "0.9996 / PSNR 40.4 dB. Requires linear alpha; "
                         "composes with --conv_int8")
+    p.add_argument("--attn_softmax_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="serving: attention softmax dtype. fp32 is the "
+                        "diffusers-parity default; bfloat16 removes the "
+                        "layout-changing fp32 upcast fusions of the logits "
+                        "(~3%% of the serving step, r3 profile) — fidelity-"
+                        "gated in scripts/bench_static_gn.py")
     p.add_argument("--microbatch", type=int, default=None,
                    help="gallery serving: denoise each --batch_size batch as "
                         "one compiled scan over microbatches of this size "
@@ -148,6 +155,13 @@ def build(opt):
         mcfg = unet_config_for_res(opt.res, in_channels=in_ch, out_channels=opt.out_channel,
                                    act_fn=opt.activation, dtype=opt.compute_dtype,
                                    conv_int8=opt.conv_int8)
+    if opt.attn_softmax_dtype != "float32" and opt.train_or_test == "train":
+        # honored in training too (no silent no-op); test mode applies it to
+        # the serving model only, keeping calibration on the exact path
+        import dataclasses
+
+        print(f"NOTE: training with attention softmax in {opt.attn_softmax_dtype}")
+        mcfg = dataclasses.replace(mcfg, attn_softmax_dtype=opt.attn_softmax_dtype)
     model = UNet2D(mcfg)
     tcfg = TrainConfig(
         nb_steps=opt.nb_steps,
@@ -321,6 +335,9 @@ def run_test(opt):
         if opt.static_gn:
             cal_kw.update(gn_mode="calibrate", gn_steps=opt.nb_steps)
             sta_kw.update(gn_mode="static", gn_steps=opt.nb_steps)
+        if opt.attn_softmax_dtype != "float32":
+            # calibration stays exact (fp32 softmax); only serving relaxes
+            sta_kw.update(attn_softmax_dtype=opt.attn_softmax_dtype)
         m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
@@ -335,6 +352,14 @@ def run_test(opt):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
+    elif opt.attn_softmax_dtype != "float32":
+        # relaxation without the calibrated tiers (no silent no-op)
+        import dataclasses
+
+        from bndm_tpu.models.unet2d import UNet2D
+
+        model = UNet2D(dataclasses.replace(
+            model.cfg, attn_softmax_dtype=opt.attn_softmax_dtype))
 
     # gallery-scale sampling shards the batch across chips (replaces the
     # reference's DataParallel scatter/gather, iadb_bn.py:716)

@@ -277,6 +277,9 @@ def run_test(args):
                           gn_steps=args.ddpm_num_inference_steps)
             sta_kw.update(gn_mode="static",
                           gn_steps=args.ddpm_num_inference_steps)
+        if getattr(args, "attn_softmax_dtype", "float32") != "float32":
+            # calibration stays exact (fp32 softmax); only serving relaxes
+            sta_kw.update(attn_softmax_dtype=args.attn_softmax_dtype)
         m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         # dedicated generator: drawing from the global numpy RNG would shift
@@ -290,6 +293,12 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration done "
               f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
+    elif getattr(args, "attn_softmax_dtype", "float32") != "float32":
+        # relaxation without the calibrated tiers (no silent no-op)
+        import dataclasses
+
+        model = UNet2D(dataclasses.replace(
+            cfg, attn_softmax_dtype=args.attn_softmax_dtype))
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
     save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",

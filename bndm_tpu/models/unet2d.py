@@ -92,6 +92,13 @@ class UNet2DConfig:
     # the single largest per-step op (4.6 ms/step at bs=500 — tiny FLOPs but
     # an f32[500,6,64,64] write + poor MXU layout), so serving may relax it
     # to bf16 under the usual SSIM/PSNR gate (scripts/bench_static_gn.py)
+    attn_softmax_dtype: str = "float32"  # attention softmax dtype. fp32 is
+    # the parity default (diffusers upcast_softmax); the r3 static-GN profile
+    # shows the upcast materializes five standalone bf16->f32 convert fusions
+    # of the attention logits (0.61 ms/step each, ~3% of the step), so the
+    # serving tier may relax it to bf16 under the usual SSIM/PSNR gate
+    # (scripts/bench_static_gn.py ATTN_BF16 leg). At <=256 tokens the logits'
+    # dynamic range is tiny and jax.nn.softmax subtracts the row max anyway.
 
     @property
     def int8_arg(self):
@@ -110,6 +117,10 @@ class UNet2DConfig:
     @property
     def gn_dtype(self):
         return jnp.dtype(self.norm_dtype)
+
+    @property
+    def softmax_dtype(self):
+        return jnp.dtype(self.attn_softmax_dtype)
 
 
 def unet_config_for_res(res, in_channels=3, out_channels=3, act_fn="silu", dtype="float32",
@@ -277,6 +288,7 @@ class AttentionBlock(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
     norm_mode: str = "dynamic"
     norm_steps: int = 0
+    softmax_dtype: jnp.dtype = jnp.float32  # fp32 = diffusers upcast_softmax
 
     @nn.compact
     def __call__(self, x, step_idx=None):
@@ -294,7 +306,7 @@ class AttentionBlock(nn.Module):
         k = k.reshape(b, -1, heads, dh)
         v = v.reshape(b, -1, heads, dh)
         scale = 1.0 / math.sqrt(dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(self.softmax_dtype) * scale
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, hh * ww, c)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
@@ -410,7 +422,7 @@ class DownBlock2D(nn.Module):
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
                     cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
-                    name=f"attentions_{i}",
+                    softmax_dtype=cfg.softmax_dtype, name=f"attentions_{i}",
                 )(x, step_idx)
             skips.append(x)
         if self.add_downsample:
@@ -447,7 +459,7 @@ class UpBlock2D(nn.Module):
                 x = AttentionBlock(
                     cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
                     cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
-                    name=f"attentions_{i}",
+                    softmax_dtype=cfg.softmax_dtype, name=f"attentions_{i}",
                 )(x, step_idx)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, cfg.compute_dtype, cfg.int8_arg,
@@ -471,7 +483,7 @@ class UNetMidBlock2D(nn.Module):
             x = AttentionBlock(
                 cfg.attention_head_dim, cfg.norm_num_groups, cfg.norm_eps,
                 cfg.compute_dtype, cfg.gn_dtype, cfg.gn_mode, cfg.gn_steps,
-                name="attentions_0",
+                softmax_dtype=cfg.softmax_dtype, name="attentions_0",
             )(x, step_idx)
         x = ResnetBlock2D(
             c, cfg.act_fn, cfg.norm_num_groups, cfg.norm_eps, cfg.dropout,

@@ -42,6 +42,7 @@ def make_serving_sampler(
     scheduler_gamma: str = "linear",
     gamma_params=(1.0, 0.0, 3.0),
     two_head: Optional[bool] = None,
+    attn_softmax_dtype: Optional[str] = None,
 ):
     """Calibrate once, then serve.
 
@@ -51,6 +52,10 @@ def make_serving_sampler(
     it and the buffer is donated (pass a fresh/copied array).
 
     ``static_gn`` requires the linear alpha schedule (ops/static_norm.py).
+    ``attn_softmax_dtype``: optionally relax the attention softmax from the
+    fp32 parity default (e.g. "bfloat16" removes the layout-changing fp32
+    upcast fusions of the logits — 3 ms/step at the headline config, r3
+    profile; fidelity-gated in scripts/bench_static_gn.py's ATTN_BF16 leg).
     """
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.ops.int8 import calibrate_sampling
@@ -69,9 +74,13 @@ def make_serving_sampler(
     if static_gn:
         cal_kw.update(gn_mode="calibrate", gn_steps=nb_steps)
         sta_kw.update(gn_mode="static", gn_steps=nb_steps)
+    if attn_softmax_dtype is not None:
+        # calibration stays on the exact (fp32-softmax) path; only serving
+        # relaxes, mirroring how conv/GN calibration runs exact math
+        sta_kw.update(attn_softmax_dtype=attn_softmax_dtype)
 
     if not cal_kw:  # nothing to calibrate: plain jitted sampler
-        model = UNet2D(cfg)
+        model = UNet2D(dataclasses.replace(cfg, **sta_kw)) if sta_kw else UNet2D(cfg)
         p_serve = {"params": params}
     else:
         m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
@@ -126,6 +135,7 @@ def make_serving_sampler_ddim(
     static_gn: bool = True,
     calib_batch: int = 8,
     key: Optional[jax.Array] = None,
+    attn_softmax_dtype: Optional[str] = None,
 ):
     """DDIM-baseline counterpart of :func:`make_serving_sampler`.
 
@@ -147,9 +157,11 @@ def make_serving_sampler_ddim(
     if static_gn:
         cal_kw.update(gn_mode="calibrate", gn_steps=num_inference_steps)
         sta_kw.update(gn_mode="static", gn_steps=num_inference_steps)
+    if attn_softmax_dtype is not None:
+        sta_kw.update(attn_softmax_dtype=attn_softmax_dtype)
 
     if not cal_kw:
-        model = UNet2D(cfg)
+        model = UNet2D(dataclasses.replace(cfg, **sta_kw)) if sta_kw else UNet2D(cfg)
         p_serve = {"params": params}
     else:
         m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))

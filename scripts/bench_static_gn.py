@@ -100,6 +100,17 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
                                            "quant": quant},
                             "int8-static + static-GN + bf16 conv_out")
 
+    # 3c. + bf16 attention softmax (the r3 static-GN profile shows the fp32
+    # upcast of the attention logits as 5 standalone bf16->f32 convert
+    # fusions of 0.61 ms/step each ~= 3% of the step); same quant tree
+    out_a = dt_a = None
+    if os.environ.get("ATTN_BF16", "1") != "0":
+        m_staa = UNet2D(dataclasses.replace(m_stag.cfg,
+                                            attn_softmax_dtype="bfloat16"))
+        out_a, dt_a = timed(m_staa.apply, {"params": params["params"],
+                                           "quant": quant},
+                            "int8-static + static-GN + bf16 softmax")
+
     # 4. fidelity vs exact-GN serving on identical x0
     a = jnp.clip((out_b + 1) / 2, 0, 1)
     b = jnp.clip((out_g + 1) / 2, 0, 1)
@@ -114,6 +125,14 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
             "convout_bf16_ssim": round(float(jnp.mean(ssim(c, a))), 4),
             "convout_bf16_psnr_db": round(float(jnp.mean(psnr(c, a))), 2),
         }
+    if out_a is not None:
+        d = jnp.clip((out_a + 1) / 2, 0, 1)
+        convout.update({
+            "attn_bf16_sps": round(batch / dt_a, 3),
+            "attn_bf16_speedup_vs_static_gn": round(dt_g / dt_a, 3),
+            "attn_bf16_ssim": round(float(jnp.mean(ssim(d, a))), 4),
+            "attn_bf16_psnr_db": round(float(jnp.mean(psnr(d, a))), 2),
+        })
     print(json.dumps({
         "metric": "static-GN serving vs exact-GN int8-static (identical x0)",
         "value": round(batch / dt_g, 3),

@@ -136,7 +136,7 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bndm_profile"
     if not os.environ.get("PARSE_ONLY"):
         run_and_trace(outdir)
-    rep = parse(outdir)
+    rep = parse(outdir, top=int(os.environ.get("PROFILE_TOP", "40")))
     for line_name, data in rep.items():
         print(f"\n== {line_name} (total {data['total_ms']} ms) ==")
         for r in data["top"][:40]:

@@ -93,3 +93,22 @@ def test_static_gn_serving_path(workdir, capsys):
     with pytest.raises(SystemExit, match="linear alpha"):
         main(COMMON + ["--train_or_test=test", "--test_samples=2",
                        "--static_gn", "--scheduler_alpha=sigmoid"])
+
+
+def test_attn_softmax_relaxation_cli(workdir):
+    """--attn_softmax_dtype=bfloat16 is honored both with the calibrated
+    serving tiers and standalone (no silent no-op)."""
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2", "--lr=1e-4"])
+    # standalone relaxation (no int8/static-GN): must still sample
+    main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                   "--save_all_samples", "--attn_softmax_dtype=bfloat16"])
+    out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) == 2
+    # riding the full serving tier
+    main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                   "--save_all_samples", "--conv_int8", "--int8_mode=static",
+                   "--static_gn", "--attn_softmax_dtype=bfloat16"])
+    assert len(list(imgdir.glob("*.png"))) == 2

@@ -80,3 +80,25 @@ def test_ddim_serving_tier():
     assert np.isfinite(np.asarray(out)).all()
     out2 = sample(x0)  # reuses the calibration
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_attn_softmax_relaxation_tier(tiny_params):
+    """attn_softmax_dtype='bfloat16' rides the serving tier: calibration runs
+    the exact fp32-softmax model, serving relaxes, output stays close to the
+    unrelaxed serving output."""
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal((2, 3, 16, 16)),
+                     jnp.float32)
+    ref = make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                               conv_int8=True, static_gn=True)(x0)
+    got = make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                               conv_int8=True, static_gn=True,
+                               attn_softmax_dtype="bfloat16")(x0)
+    assert got.shape == ref.shape
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+    # and without any calibration tiers, the relaxation alone still samples
+    out = make_serving_sampler(TINY, tiny_params, nb_steps=4,
+                               conv_int8=False, static_gn=False,
+                               attn_softmax_dtype="bfloat16")(x0)
+    assert out.shape == x0.shape

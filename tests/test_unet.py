@@ -131,3 +131,22 @@ def test_subpixel_upsample_full_unet_equivalence(tiny_model):
     a = m_fast.apply(params, x, t)
     b = m_slow.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_attn_softmax_dtype_relaxation(tiny_model):
+    """attn_softmax_dtype='bfloat16' (serving relaxation: removes the fp32
+    upcast convert fusions of the attention logits — see the r3 profile note
+    in UNet2DConfig) must stay numerically close to the fp32-softmax parity
+    path; exact with fp32 compute since the logits are then fp32 already."""
+    import dataclasses
+
+    m, params = tiny_model
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 3, 32, 32), jnp.float32)
+    t = jnp.array([0.4, 0.9])
+    ref = m.apply(params, x, t)
+    m_bf = UNet2D(dataclasses.replace(TINY, attn_softmax_dtype="bfloat16"))
+    out = m_bf.apply(params, x, t)
+    # fp32 compute dtype: logits enter softmax as fp32 values either way,
+    # bf16 rounding only in the softmax itself -> tight tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
