@@ -3,9 +3,16 @@
 TPU-native counterpart of reference ``gradio_bndm.py`` (:86-151): loads the
 three church-64 models (DDIM baseline, IADB/gaussian, BNDM/gaussianBN),
 denoises the SAME initial white noise with each, and shows intermediate
-states per step. When ``gradio`` is installed it serves the same slider UI;
-otherwise it writes a static comparison panel PNG (method rows x step
-columns) — this environment has no gradio, and the demo must still run.
+states per step. Three front ends over the same ``generate_all``:
+
+  * ``--serve_http`` — dependency-free live server (stdlib http.server):
+    slider UI in the browser, per-frame PNGs, and a POST /api/generate
+    endpoint that re-runs the three samplers for a new seed. This is the
+    served path that actually runs (and is socket-level tested) in images
+    without gradio.
+  * gradio slider UI when gradio is installed (``--serve`` forces it) —
+    mirrors the reference's interface (gradio_bndm.py:139-151).
+  * otherwise a static comparison panel PNG (method rows x step columns).
 
   python -m bndm_tpu.cli.demo --dataset=church_res64 --res=64 \
       --scheduler_gamma=sigmoid --scheduler_param=1000 --nb_steps=50
@@ -35,6 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--tiny_model", action="store_true")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--serve", action="store_true", help="force the gradio UI")
+    p.add_argument("--serve_http", action="store_true",
+                   help="serve the comparison UI over stdlib http.server "
+                        "(no gradio needed)")
+    p.add_argument("--port", type=int, default=7860,
+                   help="--serve_http port (0 = ephemeral)")
     return p.parse_args(argv)
 
 
@@ -139,6 +151,134 @@ def save_panel(results, path):
     print(f"comparison panel written to {path}")
 
 
+_PAGE = """<!doctype html>
+<html><head><title>BNDM-TPU: DDIM vs IADB vs BNDM</title>
+<style>
+ body {{ font-family: sans-serif; margin: 2em; background: #fafafa; }}
+ .row {{ display: flex; gap: 2em; align-items: center; }}
+ figure {{ text-align: center; }}
+ img {{ width: 256px; image-rendering: pixelated; border: 1px solid #ccc; }}
+ input[type=range] {{ width: 40em; }}
+</style></head><body>
+<h2>BNDM-TPU — denoising comparison (same initial noise)</h2>
+<div class="row" id="imgs">{figs}</div>
+<p><label>denoising frame <input type="range" id="step" min="0" max="{nmax}"
+ value="{nmax}" oninput="upd()"> <span id="stepv">{nmax}</span></label></p>
+<p><label>seed <input type="number" id="seed" value="0" style="width:5em">
+ </label> <button onclick="regen()">regenerate</button>
+ <span id="status"></span></p>
+<script>
+function upd() {{
+  const s = document.getElementById('step').value;
+  document.getElementById('stepv').textContent = s;
+  for (const im of document.querySelectorAll('img'))
+    im.src = '/frame/' + im.dataset.method + '/' + s + '.png?v=' + Date.now();
+}}
+async function regen() {{
+  document.getElementById('status').textContent = 'sampling...';
+  const seed = document.getElementById('seed').value;
+  await fetch('/api/generate?seed=' + seed, {{method: 'POST'}});
+  document.getElementById('status').textContent = '';
+  upd();
+}}
+</script></body></html>"""
+
+
+def _png_bytes(frame, final):
+    """Encode one (C, H, W) frame to PNG via PIL (no matplotlib needed)."""
+    import io
+
+    from PIL import Image
+
+    a = (_to_img(frame, final) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_http_server(opt, results):
+    """Build (not start) a ThreadingHTTPServer serving the comparison UI.
+
+    Endpoints: GET / (slider page), GET /api/meta (methods + frame count),
+    GET /frame/<method>/<idx>.png, POST /api/generate?seed=N (re-runs the
+    three samplers — the live-serving path the reference exposes through
+    gradio, gradio_bndm.py:86-136). Returned server has .server_address;
+    call .serve_forever() (blocking) or drive it from a thread in tests.
+    """
+    import http.server
+    import json as _json
+    import urllib.parse
+
+    state = {"results": results}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code, body, ctype="text/html; charset=utf-8"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            res = state["results"]
+            path = urllib.parse.urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                nmax = max(len(v) for v in res.values()) - 1
+                figs = "".join(
+                    f'<figure><img data-method="{m}" src="/frame/{m}/{nmax}.png">'
+                    f"<figcaption>{m}</figcaption></figure>"
+                    for m in res
+                )
+                self._send(200, _PAGE.format(figs=figs, nmax=nmax).encode())
+            elif path == "/api/meta":
+                meta = {m: len(v) for m, v in res.items()}
+                self._send(200, _json.dumps(meta).encode(),
+                           "application/json")
+            elif path.startswith("/frame/"):
+                try:
+                    _, _, method, idx = path.split("/")
+                    idx = int(idx.split(".")[0])
+                    frames = res[method]
+                    idx = min(idx, len(frames) - 1)
+                    png = _png_bytes(frames[idx], final=(idx == len(frames) - 1))
+                    self._send(200, png, "image/png")
+                except (KeyError, ValueError, IndexError):
+                    self._send(404, b"not found", "text/plain")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            q = urllib.parse.urlparse(self.path)
+            if q.path == "/api/generate":
+                seed = int(urllib.parse.parse_qs(q.query).get("seed", ["0"])[0])
+                import copy
+
+                o = copy.copy(opt)
+                o.seed = seed
+                state["results"] = generate_all(o)
+                self._send(200, b'{"ok": true}', "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+    return http.server.ThreadingHTTPServer(("127.0.0.1", opt.port), Handler)
+
+
+def serve_http(opt, results):
+    srv = make_http_server(opt, results)
+    host, port = srv.server_address[:2]
+    print(f"serving comparison UI at http://{host}:{port}/ "
+          "(ctrl-c to stop)", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
 def serve_gradio(opt, results):
     import gradio as gr
 
@@ -162,6 +302,9 @@ def serve_gradio(opt, results):
 def main(argv=None):
     opt = parse_args(argv)
     results = generate_all(opt)
+    if opt.serve_http:
+        serve_http(opt, results)
+        return
     try:
         import gradio  # noqa: F401
 
