@@ -187,6 +187,33 @@ def _bench_sampling_static_gn(batch=500, steps=250, res=64, calib_batch=8):
     return batch / dt, dt, m_sta, p_sta
 
 
+def _bench_resample(model, params, batch=500, steps=250, res=64):
+    """Time sample_iadb for an already-calibrated (model, params) pair — used
+    to measure config variants (e.g. the bf16-softmax relaxation) that share
+    the same quant tree. Returns (sps, dt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.samplers.iadb import sample_iadb
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
+
+    def run(p, x):
+        out, _ = sample_iadb(
+            model.apply, p, x,
+            nb_steps=steps, scheduler_gamma="sigmoid",
+            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+        )
+        return out
+
+    _fetch(run(params, x0))
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+    t0 = time.perf_counter()
+    _fetch(run(params, x1))
+    dt = time.perf_counter() - t0
+    return batch / dt, dt
+
+
 def _bench_sampling_microbatched(model, params, total=1000, microbatch=500,
                                  steps=250, res=64):
     """Gallery serving at effective batch `total` via the microbatched scan
@@ -312,6 +339,27 @@ def main():
                 m_sta, p_sta = m_gn, p_gn  # microbatch the fastest tier
         except Exception as e:  # noqa: BLE001
             print(f"static-GN bench failed ({e})", flush=True)
+    # bf16 attention softmax on the fastest calibrated tier (r3, gate-passed:
+    # 21.68 vs 20.93 samples/s = 1.036x at SSIM 0.9996 / PSNR 40.4 dB vs
+    # exact-GN — the relaxation adds no measurable error on top of static-GN;
+    # scripts/bench_static_gn.py ATTN_BF16 leg); BENCH_ATTN=0 skips
+    sps_attn = None
+    if (m_sta is not None and "serving" in mode
+            and os.environ.get("BENCH_ATTN", "1") != "0"):
+        try:
+            import dataclasses
+
+            from bndm_tpu.models.unet2d import UNet2D
+
+            m_attn = UNet2D(dataclasses.replace(
+                m_sta.cfg, attn_softmax_dtype="bfloat16"))
+            sps_attn, sample_dt_attn = _bench_resample(m_attn, p_sta)
+            if sps_attn > sps:
+                sps, sample_dt = sps_attn, sample_dt_attn
+                mode += " + bf16-softmax"
+                m_sta = m_attn  # microbatch the fastest tier
+        except Exception as e:  # noqa: BLE001
+            print(f"attn-bf16 bench failed ({e})", flush=True)
     # gallery serving at effective batch 1000 (microbatched scan) on the
     # fastest serving configuration; BENCH_MB=0 skips
     sps_mb = None
@@ -358,6 +406,12 @@ def main():
             "static_gn_fidelity_ref": ("SSIM 0.9996 / PSNR 40.4 dB vs "
                                        "exact-GN on identical x0 (r3, v5e)"
                                        if sps_gn else None),
+            "attn_bf16_sps": round(sps_attn, 3) if sps_attn else None,
+            # provenance ref (scripts/bench_static_gn.py ATTN_BF16 leg)
+            "attn_bf16_fidelity_ref": ("SSIM 0.9996 / PSNR 40.4 dB vs "
+                                       "exact-GN on identical x0 — no "
+                                       "measurable error added (r3, v5e)"
+                                       if sps_attn else None),
             "microbatched_sps": round(sps_mb, 3) if sps_mb else None,
             "microbatched_effective_batch": mb_batch if sps_mb else None,
             # provenance reference, NOT measured in this run — the fidelity
