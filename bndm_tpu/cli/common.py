@@ -43,6 +43,19 @@ def noise_folder_name(noise_type):
     }[noise_type]
 
 
+def serving_relax_kw(args):
+    """Serving-only model-config relaxations requested on the CLI, as kwargs
+    for ``dataclasses.replace`` on the *serving* UNet2DConfig. Calibration
+    always runs the exact model (fp32 softmax), so these are applied to
+    ``sta_kw`` / the standalone serving model only — one place to extend when
+    the next fidelity-gated relaxation lands (used by all three CLIs)."""
+    kw = {}
+    dt = getattr(args, "attn_softmax_dtype", "float32")
+    if dt != "float32":
+        kw["attn_softmax_dtype"] = dt
+    return kw
+
+
 def load_L_for(noise_type, bluenoise_dir="bluenoise"):
     kind = "red" if noise_type == "gaussianRN" else "blue"
     return load_cov_L(res=64, dimension=3, kind=kind,

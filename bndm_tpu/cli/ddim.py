@@ -164,7 +164,7 @@ def run_test(args):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid
+    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid, serving_relax_kw
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
@@ -216,9 +216,8 @@ def run_test(args):
                           gn_steps=args.ddpm_num_inference_steps)
             sta_kw.update(gn_mode="static",
                           gn_steps=args.ddpm_num_inference_steps)
-        if args.attn_softmax_dtype != "float32":
-            # calibration stays exact (fp32 softmax); only serving relaxes
-            sta_kw.update(attn_softmax_dtype=args.attn_softmax_dtype)
+        # calibration stays exact (fp32 softmax); only serving relaxes
+        sta_kw.update(serving_relax_kw(args))
         m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777)
@@ -231,12 +230,11 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
-    elif args.attn_softmax_dtype != "float32":
+    elif serving_relax_kw(args):
         # relaxation without the calibrated tiers (no silent no-op)
         import dataclasses
 
-        model = UNet2D(dataclasses.replace(
-            model.cfg, attn_softmax_dtype=args.attn_softmax_dtype))
+        model = UNet2D(dataclasses.replace(model.cfg, **serving_relax_kw(args)))
 
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)

@@ -77,38 +77,55 @@ def _model_and_params(opt, out_channel, ckpt_path):
     return model, params
 
 
-def generate_all(opt):
+def load_all(opt):
+    """Load the three (model, params) pairs ONCE — mirrors the reference demo,
+    which loads its models at startup and only re-samples per request
+    (gradio_bndm.py:64-80). Returns dict name -> (model, params)."""
+    ds = opt.dataset
+    return {
+        "DDIM": _model_and_params(
+            opt, 3, f"results_gaussianBN/ddim_{ds}/unet/model.npz"),
+        "IADB": _model_and_params(
+            opt, 3, f"results_gaussianBN/{ds}_gaussian_linear_outc3_seed0/model.npz"),
+        "BNDM": _model_and_params(
+            opt, 6,
+            f"results_gaussianBN/{ds}_gaussianBN_{opt.scheduler_gamma}_outc6_seed0/model.npz"),
+    }
+
+
+def generate_all(opt, loaded=None):
     """Run the three methods from the same x0; returns dict name -> frames
-    (n_frames, C, H, W) in [-1, 1]-ish (intermediates unnormalized)."""
+    (n_frames, C, H, W) in [-1, 1]-ish (intermediates unnormalized).
+
+    ``loaded``: optional dict from :func:`load_all`; pass it to avoid
+    re-reading checkpoints on every call (the live server does)."""
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_L_for
     from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
     from bndm_tpu.samplers.iadb import sample_iadb
 
+    if loaded is None:
+        loaded = load_all(opt)
     key = jax.random.PRNGKey(opt.seed)
     x0 = jax.random.normal(key, (1, 3, opt.res, opt.res), jnp.float32)
-    ds = opt.dataset
 
     results = {}
     # DDIM baseline (reference model dir ddim_church_res64)
-    m, p = _model_and_params(opt, 3, f"results_gaussianBN/ddim_{ds}/unet/model.npz")
+    m, p = loaded["DDIM"]
     sched = DDIMScheduler()
     out, frames = sample_ddim(m.apply, p, x0, scheduler=sched,
                               num_inference_steps=opt.nb_steps, collect_frames=True)
     results["DDIM"] = np.asarray(frames[:, 0])
 
     # IADB (gaussian, outc3)
-    m, p = _model_and_params(
-        opt, 3, f"results_gaussianBN/{ds}_gaussian_linear_outc3_seed0/model.npz")
+    m, p = loaded["IADB"]
     out, frames = sample_iadb(m.apply, p, x0, nb_steps=opt.nb_steps,
                               collect_frames=True, log_freq=max(opt.nb_steps // 10, 1))
     results["IADB"] = np.asarray(frames[:, 0])
 
     # BNDM (gaussianBN, outc6)
-    m, p = _model_and_params(
-        opt, 6, f"results_gaussianBN/{ds}_gaussianBN_{opt.scheduler_gamma}_outc6_seed0/model.npz")
+    m, p = loaded["BNDM"]
     sp = (opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e)
     out, frames = sample_iadb(m.apply, p, x0, nb_steps=opt.nb_steps,
                               scheduler_gamma=opt.scheduler_gamma, gamma_params=sp,
@@ -196,7 +213,7 @@ def _png_bytes(frame, final):
     return buf.getvalue()
 
 
-def make_http_server(opt, results):
+def make_http_server(opt, results, loaded=None):
     """Build (not start) a ThreadingHTTPServer serving the comparison UI.
 
     Endpoints: GET / (slider page), GET /api/meta (methods + frame count),
@@ -204,12 +221,15 @@ def make_http_server(opt, results):
     three samplers — the live-serving path the reference exposes through
     gradio, gradio_bndm.py:86-136). Returned server has .server_address;
     call .serve_forever() (blocking) or drive it from a thread in tests.
+
+    ``loaded``: models/params from :func:`load_all`, loaded once here if not
+    given, so POST /api/generate only re-samples (no checkpoint re-reads).
     """
     import http.server
     import json as _json
     import urllib.parse
 
-    state = {"results": results}
+    state = {"results": results, "loaded": loaded or load_all(opt)}
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -253,12 +273,23 @@ def make_http_server(opt, results):
         def do_POST(self):
             q = urllib.parse.urlparse(self.path)
             if q.path == "/api/generate":
-                seed = int(urllib.parse.parse_qs(q.query).get("seed", ["0"])[0])
+                try:
+                    seed = int(urllib.parse.parse_qs(q.query).get("seed", ["0"])[0])
+                except ValueError:
+                    self._send(400, b'{"ok": false, "error": "seed must be an integer"}',
+                               "application/json")
+                    return
                 import copy
 
                 o = copy.copy(opt)
                 o.seed = seed
-                state["results"] = generate_all(o)
+                try:
+                    state["results"] = generate_all(o, state["loaded"])
+                except Exception as e:  # noqa: BLE001 — report, don't hang the client
+                    self._send(500, _json.dumps(
+                        {"ok": False, "error": str(e)}).encode(),
+                        "application/json")
+                    return
                 self._send(200, b'{"ok": true}', "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -266,8 +297,8 @@ def make_http_server(opt, results):
     return http.server.ThreadingHTTPServer(("127.0.0.1", opt.port), Handler)
 
 
-def serve_http(opt, results):
-    srv = make_http_server(opt, results)
+def serve_http(opt, results, loaded=None):
+    srv = make_http_server(opt, results, loaded)
     host, port = srv.server_address[:2]
     print(f"serving comparison UI at http://{host}:{port}/ "
           "(ctrl-c to stop)", flush=True)
@@ -301,9 +332,10 @@ def serve_gradio(opt, results):
 
 def main(argv=None):
     opt = parse_args(argv)
-    results = generate_all(opt)
+    loaded = load_all(opt)
+    results = generate_all(opt, loaded)
     if opt.serve_http:
-        serve_http(opt, results)
+        serve_http(opt, results, loaded)
         return
     try:
         import gradio  # noqa: F401

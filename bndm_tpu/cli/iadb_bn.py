@@ -296,7 +296,7 @@ def run_test(opt):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_pixel_unet_params, noise_folder_name, save_image_grid
+    from bndm_tpu.cli.common import load_pixel_unet_params, noise_folder_name, save_image_grid, serving_relax_kw
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
     from bndm_tpu.samplers.iadb import sample_iadb
 
@@ -335,9 +335,8 @@ def run_test(opt):
         if opt.static_gn:
             cal_kw.update(gn_mode="calibrate", gn_steps=opt.nb_steps)
             sta_kw.update(gn_mode="static", gn_steps=opt.nb_steps)
-        if opt.attn_softmax_dtype != "float32":
-            # calibration stays exact (fp32 softmax); only serving relaxes
-            sta_kw.update(attn_softmax_dtype=opt.attn_softmax_dtype)
+        # calibration stays exact (fp32 softmax); only serving relaxes
+        sta_kw.update(serving_relax_kw(opt))
         m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
@@ -352,14 +351,13 @@ def run_test(opt):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
-    elif opt.attn_softmax_dtype != "float32":
+    elif serving_relax_kw(opt):
         # relaxation without the calibrated tiers (no silent no-op)
         import dataclasses
 
         from bndm_tpu.models.unet2d import UNet2D
 
-        model = UNet2D(dataclasses.replace(
-            model.cfg, attn_softmax_dtype=opt.attn_softmax_dtype))
+        model = UNet2D(dataclasses.replace(model.cfg, **serving_relax_kw(opt)))
 
     # gallery-scale sampling shards the batch across chips (replaces the
     # reference's DataParallel scatter/gather, iadb_bn.py:716)

@@ -228,7 +228,7 @@ def run_test(args):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid
+    from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid, serving_relax_kw
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.models.vae import AutoencoderKL
     from bndm_tpu.samplers.iadb import sample_iadb
@@ -277,9 +277,8 @@ def run_test(args):
                           gn_steps=args.ddpm_num_inference_steps)
             sta_kw.update(gn_mode="static",
                           gn_steps=args.ddpm_num_inference_steps)
-        if getattr(args, "attn_softmax_dtype", "float32") != "float32":
-            # calibration stays exact (fp32 softmax); only serving relaxes
-            sta_kw.update(attn_softmax_dtype=args.attn_softmax_dtype)
+        # calibration stays exact (fp32 softmax); only serving relaxes
+        sta_kw.update(serving_relax_kw(args))
         m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
         model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         # dedicated generator: drawing from the global numpy RNG would shift
@@ -293,12 +292,11 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration done "
               f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
-    elif getattr(args, "attn_softmax_dtype", "float32") != "float32":
+    elif serving_relax_kw(args):
         # relaxation without the calibrated tiers (no silent no-op)
         import dataclasses
 
-        model = UNet2D(dataclasses.replace(
-            cfg, attn_softmax_dtype=args.attn_softmax_dtype))
+        model = UNet2D(dataclasses.replace(cfg, **serving_relax_kw(args)))
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
     save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",

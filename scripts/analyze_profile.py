@@ -97,13 +97,23 @@ def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bndm_profile_gn"
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 250
     rep = json.load(open(os.path.join(outdir, "summary.json")))
-    key = next(k for k in rep if "XLA Ops" in k)
+    key = next((k for k in rep if "XLA Ops" in k and "Async" not in k), None)
+    if key is None:
+        sys.exit(f"no 'XLA Ops' line in {outdir}/summary.json "
+                 f"(planes: {sorted(rep)}) — was this a TPU trace parsed by "
+                 "scripts/profile_sampling.py?")
     rows = []
+    dropped_n = 0
+    dropped_ms = 0.0
     for r in rep[key]["top"]:
         if r["op"].startswith("%while") or r["count"] < steps:
             continue
         a = analyze(r["op"], r["ms"] / steps)
         if a is None:
+            # non-fusion device op (standalone conv/custom-call/reduce/...)
+            # or unparsed shapes — report, don't silently understate coverage
+            dropped_n += 1
+            dropped_ms += r["ms"] / steps
             continue
         a["name"] = r["op"].split(" = ")[0]
         rows.append(a)
@@ -121,6 +131,9 @@ def main():
             tot_elem += a["ms"]
     print(f"\nanalyzed {len(rows)} fusions: {tot_ms:.1f} ms/step "
           f"({tot_conv:.1f} conv-containing, {tot_elem:.1f} elementwise)")
+    if dropped_n:
+        print(f"NOT analyzed (non-fusion/unparsed per-step device ops): "
+              f"{dropped_n} ops totaling {dropped_ms:.2f} ms/step")
 
 
 if __name__ == "__main__":

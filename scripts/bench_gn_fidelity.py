@@ -41,11 +41,16 @@ def main(batch=500, steps=250, res=64):
     kw = dict(nb_steps=steps, scheduler_gamma="sigmoid",
               gamma_params=(1000.0, 0.0, 3.0), two_head=True)
 
+    # warm on x0, time AND compare on a fresh x1 (measurement rule #2,
+    # docs/PERFORMANCE.md: re-timing the warmup input risks relay-side
+    # result caching); both legs use the same x1 so identical-x0 holds
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+
     def timed(apply_fn, label):
         out, _ = sample_iadb(apply_fn, params, x0, **kw)
         _fetch(out)  # compile + warmup
         t0 = time.perf_counter()
-        out, _ = sample_iadb(apply_fn, params, x0, **kw)
+        out, _ = sample_iadb(apply_fn, params, x1, **kw)
         _fetch(out)
         dt = time.perf_counter() - t0
         print(f"{label}: {batch/dt:.2f} samples/s ({dt:.2f}s)", flush=True)

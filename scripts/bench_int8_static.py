@@ -52,11 +52,15 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
         out, _ = sample_iadb(apply_fn, p, x, **kw)
         return out
 
+    # warm on x0, time AND compare on a fresh x1 (measurement rule #2,
+    # docs/PERFORMANCE.md); both legs use the same x1 so identical-x0 holds
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+
     # 1. bf16 baseline
     out_f = run(m_f.apply, params, x0)
     _fetch(out_f)
     t0 = time.perf_counter()
-    out_f = run(m_f.apply, params, x0)
+    out_f = run(m_f.apply, params, x1)
     _fetch(out_f)
     dt_f = time.perf_counter() - t0
     print(f"bf16: {batch/dt_f:.2f} samples/s ({dt_f:.2f}s)", flush=True)
@@ -76,7 +80,7 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
     _fetch(out_q)
     print(f"int8-static compile+warmup: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    out_q = run(m_sta.apply, p_sta, x0)
+    out_q = run(m_sta.apply, p_sta, x1)
     _fetch(out_q)
     dt_q = time.perf_counter() - t0
     print(f"int8-static: {batch/dt_q:.2f} samples/s ({dt_q:.2f}s)", flush=True)

@@ -53,11 +53,17 @@ def main(batch=500, steps=250, res=64, calib_batch=8):
     kw = dict(nb_steps=steps, scheduler_gamma="sigmoid",
               gamma_params=(1000.0, 0.0, 3.0), two_head=True)
 
+    # measurement rule #2 (docs/PERFORMANCE.md): never re-time the warmup
+    # input — a second call on the same x0 can be served from relay-side
+    # result caching. Warm on x0, time on a fresh x1; all legs time AND
+    # compare fidelity on the same x1, so identical-x0 SSIM/PSNR still holds.
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+
     def timed(apply_fn, p, label):
         out, _ = sample_iadb(apply_fn, p, x0, **kw)
         _fetch(out)  # compile + warmup
         t0 = time.perf_counter()
-        out, _ = sample_iadb(apply_fn, p, x0, **kw)
+        out, _ = sample_iadb(apply_fn, p, x1, **kw)
         _fetch(out)
         dt = time.perf_counter() - t0
         print(f"{label}: {batch/dt:.2f} samples/s ({dt:.2f}s)", flush=True)

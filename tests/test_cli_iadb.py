@@ -107,7 +107,10 @@ def test_attn_softmax_relaxation_cli(workdir):
     out = workdir / "results_gaussianBN" / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0"
     imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
     assert len(list(imgdir.glob("*.png"))) == 2
-    # riding the full serving tier
+    # riding the full serving tier — clear the leftovers first so the count
+    # asserts on THIS leg's output, not the previous one's
+    for f in imgdir.glob("*.png"):
+        f.unlink()
     main(COMMON + ["--train_or_test=test", "--test_samples=2",
                    "--save_all_samples", "--conv_int8", "--int8_mode=static",
                    "--static_gn", "--attn_softmax_dtype=bfloat16"])

@@ -2,6 +2,7 @@ import sys
 import types
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -105,22 +106,27 @@ def test_demo_http_serving_e2e(tmp_path, monkeypatch):
     import urllib.request
 
     monkeypatch.chdir(tmp_path)
-    from bndm_tpu.cli.demo import generate_all, make_http_server, parse_args
+    import bndm_tpu.cli.demo as demo
+    from bndm_tpu.cli.demo import generate_all, load_all, make_http_server, parse_args
 
     opt = parse_args([
         "--dataset=tinychurch", "--res=32", "--nb_steps=4", "--tiny_model",
         "--compute_dtype=float32", "--port=0",
     ])
-    results = generate_all(opt)
-    srv = make_http_server(opt, results)
+    loaded = load_all(opt)
+    results = generate_all(opt, loaded)
+    srv = make_http_server(opt, results, loaded)
+    # the server must not re-read checkpoints per request: poison load_all
+    monkeypatch.setattr(demo, "load_all",
+                        lambda *a: pytest.fail("server re-loaded models"))
     host, port = srv.server_address[:2]
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     try:
         base = f"http://{host}:{port}"
         page = urllib.request.urlopen(f"{base}/").read().decode()
-        assert "DDIM" in page and "BNDM" in page and "slider" in page.lower() \
-            or "range" in page
+        assert "DDIM" in page and "IADB" in page and "BNDM" in page
+        assert 'input type="range"' in page  # the denoising-frame slider
         meta = json.loads(urllib.request.urlopen(f"{base}/api/meta").read())
         assert set(meta) == {"DDIM", "IADB", "BNDM"}
         assert all(n >= 2 for n in meta.values())
@@ -134,6 +140,13 @@ def test_demo_http_serving_e2e(tmp_path, monkeypatch):
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # non-numeric seed is a 400, not a hung socket
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/api/generate?seed=abc", method="POST"))
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         # live regenerate with a new seed changes the frames
         req = urllib.request.Request(f"{base}/api/generate?seed=7",
                                      method="POST")
