@@ -5,7 +5,8 @@ The serving tiers (each fidelity-gated on v5e, PARITY.md §6):
   bf16              16.45 samples/s/chip   (parity path)
   + int8-static     18.39  (SSIM 1.0 / PSNR 49 dB vs bf16)
   + static-GN       20.93  (SSIM 0.9996 / PSNR 40 dB vs exact-GN)
-  + microbatched    20.98 at effective batch 1000+ (no HBM ceiling)
+  + bf16 softmax    21.68  (same gate numbers — no added error)
+  + microbatched    21.89 at effective batch 1000+ (no HBM ceiling)
 
 ``make_serving_sampler`` builds the calibrate/static model pair, runs the
 one-off exact calibration trajectory (conv activation scales + per-step
