@@ -99,7 +99,7 @@ def _bench_sampling_int8(batch=500, steps=250, res=64, calib_batch=8):
     vs bf16 on identical x0 at SSIM 1.0 / PSNR 49 dB
     (scripts/bench_int8_static.py); int8 sites chosen by profile — resnet
     conv1/conv2 + upsamplers; shortcut/conv_in/downsample/conv_out stay fp.
-    Returns (sps, dt)."""
+    Returns (sps, dt, model, params) for the follow-up serving legs."""
     import jax
     import jax.numpy as jnp
 
@@ -364,7 +364,11 @@ def main():
     # fastest serving configuration; BENCH_MB=0 skips
     sps_mb = None
     mb_batch = None
-    if m_sta is not None and os.environ.get("BENCH_MB", "1") != "0":
+    # guarded on a *winning* serving tier like the attn leg: when bf16 beat
+    # int8, m_sta still holds the int8 model and a microbatched measurement
+    # of it must not be labeled "bf16 microbatched"
+    if (m_sta is not None and "serving" in mode
+            and os.environ.get("BENCH_MB", "1") != "0"):
         try:
             mb_batch = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
             sps_mb, sample_dt_mb = _bench_sampling_microbatched(
@@ -392,6 +396,9 @@ def main():
         vs_baseline = float("nan")
 
     eff_bs = mb_batch if "microbatched" in mode else 500
+    # the microbatched run executes (total/500) sequential bs-500 chains, so
+    # per-step time must divide by the true number of UNet step executions
+    step_execs = steps * (mb_batch // 500 if "microbatched" in mode else 1)
     print(json.dumps({
         "metric": f"samples/sec/chip (IADB-BN res64, 250 steps, bs={eff_bs})",
         "value": round(sps, 3),
@@ -419,7 +426,7 @@ def main():
             "int8_fidelity_ref": "SSIM 1.0 / PSNR 49.2 dB on identical x0 "
                                  "(scripts/bench_int8_static.py, r2, v5e)",
             "sample_batch_seconds": round(sample_dt, 3),
-            "per_unet_step_ms": round(sample_dt / steps * 1e3, 3),
+            "per_unet_step_ms": round(sample_dt / step_execs * 1e3, 3),
             "unet_fwd_gflops_per_image": round(flops_per_image / 1e9, 2),
             "baseline_rtx4090_est_sps": round(baseline_sps, 3) if np.isfinite(baseline_sps) else None,
             "bluenoise_mpix_per_s": round(mpix_s, 1),

@@ -196,30 +196,21 @@ def run_test(args):
             prediction_type=args.prediction_type,
         )
 
-    if (args.conv_int8 and args.int8_mode == "static") or args.static_gn:
-        # serving calibration (same scheme as the IADB CLIs): one exact
-        # small-batch DDIM trajectory records constant int8 activation
-        # scales and/or per-(site, step) GroupNorm statistics; sampling then
-        # runs W8A8 with static scales / one-FMA static GN. DDIM's GN tables
-        # are keyed on scan position (pass_step_idx below) since its integer
-        # timesteps carry no index (ops/static_norm.py)
-        import dataclasses
+    # serving calibration (same scheme as the IADB CLIs): one exact
+    # small-batch DDIM trajectory records constant int8 activation
+    # scales and/or per-(site, step) GroupNorm statistics; sampling then
+    # runs W8A8 with static scales / one-FMA static GN. DDIM's GN tables
+    # are keyed on scan position (pass_step_idx below) since its integer
+    # timesteps carry no index (ops/static_norm.py)
+    from bndm_tpu.serving import serving_model_pair
 
+    m_cal, model = serving_model_pair(
+        model.cfg, int8_static=args.conv_int8 and args.int8_mode == "static",
+        static_gn=args.static_gn, gn_steps=args.ddpm_num_inference_steps,
+        relax_kw=serving_relax_kw(args))
+    if m_cal is not None:
         from bndm_tpu.ops.int8 import calibrate_sampling_ddim
 
-        cal_kw, sta_kw = {}, {}
-        if args.conv_int8 and args.int8_mode == "static":
-            cal_kw.update(int8_mode="calibrate")
-            sta_kw.update(int8_mode="static")
-        if args.static_gn:
-            cal_kw.update(gn_mode="calibrate",
-                          gn_steps=args.ddpm_num_inference_steps)
-            sta_kw.update(gn_mode="static",
-                          gn_steps=args.ddpm_num_inference_steps)
-        # calibration stays exact (fp32 softmax); only serving relaxes
-        sta_kw.update(serving_relax_kw(args))
-        m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
-        model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(args.seed), 777)
         x_cal = jax.random.normal(
             ckey, (min(8, args.eval_batch_size), 3, args.resolution,
@@ -230,11 +221,6 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
-    elif serving_relax_kw(args):
-        # relaxation without the calibrated tiers (no silent no-op)
-        import dataclasses
-
-        model = UNet2D(dataclasses.replace(model.cfg, **serving_relax_kw(args)))
 
     mesh = auto_mesh(args.eval_batch_size)
     params = replicate(mesh, params)

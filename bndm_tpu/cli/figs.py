@@ -66,7 +66,8 @@ def _noise_and_spectrum(L, key, t_step, res, noise_type="gaussianBN"):
     t = jnp.full((1,), float(t_step), jnp.float32)
     gamma_t = gamma_schedule(t, NB_STEPS, SCHED, SCHED_PARAMS)
     white = jax.random.normal(key, (1, 3, res, res), jnp.float32)
-    r = get_noise(white, L, gamma_t, noise_type=noise_type, train=False, inplace=True)
+    r = get_noise(white, L, gamma_t, noise_type=noise_type, train=False,
+                  inplace=True, key=key)  # key only consumed by 'uniform'
     fft_mag = jnp.abs(compute_fft(r.noise))
     return r.noise, fft_mag
 

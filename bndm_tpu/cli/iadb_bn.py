@@ -318,27 +318,20 @@ def run_test(opt):
         raise SystemExit("--static_gn requires the linear alpha schedule "
                          "(the per-step GN tables are indexed by "
                          "round(alpha*T) — ops/static_norm.py)")
-    if (opt.conv_int8 and opt.int8_mode == "static") or opt.static_gn:
-        # serving path: calibrate constant conv activation scales and/or
-        # per-(site,step) GroupNorm statistics on ONE exact small-batch
-        # trajectory, then sample with static constants — int8-static is
-        # 1.116x bf16 at SSIM 1.0 / PSNR 49 dB; +static-GN is a further
-        # 1.139x at SSIM 0.9996 / PSNR 40.4 dB (PARITY.md §6)
-        import dataclasses
+    # serving path: calibrate constant conv activation scales and/or
+    # per-(site,step) GroupNorm statistics on ONE exact small-batch
+    # trajectory, then sample with static constants — int8-static is
+    # 1.116x bf16 at SSIM 1.0 / PSNR 49 dB; +static-GN is a further
+    # 1.139x at SSIM 0.9996 / PSNR 40.4 dB (PARITY.md §6)
+    from bndm_tpu.serving import serving_model_pair
 
-        from bndm_tpu.models.unet2d import UNet2D
+    m_cal, model = serving_model_pair(
+        model.cfg, int8_static=opt.conv_int8 and opt.int8_mode == "static",
+        static_gn=opt.static_gn, gn_steps=opt.nb_steps,
+        relax_kw=serving_relax_kw(opt))
+    if m_cal is not None:
         from bndm_tpu.ops.int8 import calibrate_sampling
 
-        cal_kw, sta_kw = {}, {}
-        if opt.conv_int8 and opt.int8_mode == "static":
-            cal_kw["int8_mode"], sta_kw["int8_mode"] = "calibrate", "static"
-        if opt.static_gn:
-            cal_kw.update(gn_mode="calibrate", gn_steps=opt.nb_steps)
-            sta_kw.update(gn_mode="static", gn_steps=opt.nb_steps)
-        # calibration stays exact (fp32 softmax); only serving relaxes
-        sta_kw.update(serving_relax_kw(opt))
-        m_cal = UNet2D(dataclasses.replace(model.cfg, **cal_kw))
-        model = UNet2D(dataclasses.replace(model.cfg, **sta_kw))
         ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
         x_cal = jax.random.normal(
             ckey, (min(8, opt.batch_size), 3, opt.res, opt.res), jnp.float32)
@@ -351,13 +344,6 @@ def run_test(opt):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
               f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
-    elif serving_relax_kw(opt):
-        # relaxation without the calibrated tiers (no silent no-op)
-        import dataclasses
-
-        from bndm_tpu.models.unet2d import UNet2D
-
-        model = UNet2D(dataclasses.replace(model.cfg, **serving_relax_kw(opt)))
 
     # gallery-scale sampling shards the batch across chips (replaces the
     # reference's DataParallel scatter/gather, iadb_bn.py:716)
@@ -410,20 +396,31 @@ def run_test(opt):
         if x0.shape[0] % mesh.devices.size == 0:
             x0 = shard_batch(mesh, x0)
 
-        use_mb = opt.microbatch and x0.shape[0] > opt.microbatch \
-            and x0.shape[0] % opt.microbatch == 0
+        # Any batch larger than the microbatch goes through the microbatched
+        # scan — never silently through the full-batch sampler (that is the
+        # documented bs>=1000 HBM-OOM path). Non-divisible remainders (last
+        # gallery batch) are zero-padded to the next multiple and sliced
+        # back; samples are independent so pad rows cannot perturb real ones.
+        use_mb = opt.microbatch and x0.shape[0] > opt.microbatch
+        mb_pad = (-x0.shape[0]) % opt.microbatch if use_mb else 0
 
         def _run():
             if use_mb:
                 from bndm_tpu.samplers.iadb import sample_iadb_microbatched
 
+                xin = jnp.array(x0)
+                if mb_pad:
+                    xin = jnp.concatenate(
+                        [xin, jnp.zeros((mb_pad,) + xin.shape[1:], xin.dtype)])
                 s = sample_iadb_microbatched(
-                    model.apply, params, jnp.array(x0), microbatch=opt.microbatch,
+                    model.apply, params, xin, microbatch=opt.microbatch,
                     nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
                     alpha_param=opt.scheduler_param,
                     scheduler_gamma=opt.scheduler_gamma,
                     gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
                 )
+                if mb_pad:
+                    s = s[: x0.shape[0]]
                 return jax.block_until_ready(s), None
             s, f = sample_iadb(
                 model.apply, params, x0,
@@ -504,7 +501,12 @@ def run_superres_test(opt):
         x0 = jax.random.normal(jax.random.fold_in(key, i), x1.shape, jnp.float32)
         t = jnp.full((1,), float(opt.nb_steps))
         g = gamma_schedule(t, opt.nb_steps, opt.scheduler_gamma, sp)
-        x0 = get_noise(x0, L, g, noise_type=opt.noise_type, train=False, inplace=True).noise
+        # inplace consumes x0 as the white-noise source; 'uniform' always
+        # draws fresh and needs a key (ops/noise.py) — fold distinctly from
+        # the x0 draw so the streams never collide
+        x0 = get_noise(x0, L, g, noise_type=opt.noise_type, train=False,
+                       inplace=True,
+                       key=jax.random.fold_in(key, 10_000 + i)).noise
 
         sample, frames = sample_iadb(
             model.apply, params, x0,

@@ -259,28 +259,21 @@ def run_test(args):
     decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
     lat_res = args.resolution // 8
 
-    if (args.conv_int8 and getattr(args, "int8_mode", "static") == "static") \
-            or args.static_gn:
-        # serving path (same flow as the pixel CLI): calibrate constant conv
-        # activation scales and/or per-step GroupNorm statistics on one
-        # exact small trajectory; the latent sampler uses linear alpha=gamma,
-        # calibrate_sampling's defaults (latent_...:602-604)
-        import dataclasses
+    # serving path (same flow as the pixel CLI): calibrate constant conv
+    # activation scales and/or per-step GroupNorm statistics on one
+    # exact small trajectory; the latent sampler uses linear alpha=gamma,
+    # calibrate_sampling's defaults (latent_...:602-604)
+    from bndm_tpu.serving import serving_model_pair
 
+    m_cal, model = serving_model_pair(
+        cfg,
+        int8_static=args.conv_int8
+        and getattr(args, "int8_mode", "static") == "static",
+        static_gn=args.static_gn, gn_steps=args.ddpm_num_inference_steps,
+        relax_kw=serving_relax_kw(args))
+    if m_cal is not None:
         from bndm_tpu.ops.int8 import calibrate_sampling
 
-        cal_kw, sta_kw = {}, {}
-        if args.conv_int8 and getattr(args, "int8_mode", "static") == "static":
-            cal_kw["int8_mode"], sta_kw["int8_mode"] = "calibrate", "static"
-        if args.static_gn:
-            cal_kw.update(gn_mode="calibrate",
-                          gn_steps=args.ddpm_num_inference_steps)
-            sta_kw.update(gn_mode="static",
-                          gn_steps=args.ddpm_num_inference_steps)
-        # calibration stays exact (fp32 softmax); only serving relaxes
-        sta_kw.update(serving_relax_kw(args))
-        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
-        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         # dedicated generator: drawing from the global numpy RNG would shift
         # the sampling noise stream, breaking identical-x0 fidelity
         # comparisons between --conv_int8 and bf16 runs at the same --seed
@@ -292,11 +285,6 @@ def run_test(args):
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration done "
               f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
-    elif serving_relax_kw(args):
-        # relaxation without the calibrated tiers (no silent no-op)
-        import dataclasses
-
-        model = UNet2D(dataclasses.replace(cfg, **serving_relax_kw(args)))
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
     save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",

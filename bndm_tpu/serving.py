@@ -28,6 +28,50 @@ import jax
 import jax.numpy as jnp
 
 
+def serving_model_pair(
+    cfg,
+    *,
+    conv_int8: Optional[bool] = None,
+    int8_static: bool = False,
+    static_gn: bool = False,
+    gn_steps: Optional[int] = None,
+    relax_kw: Optional[dict] = None,
+):
+    """Build the (calibration, serving) UNet pair for the serving tiers.
+
+    One place for the cal_kw/sta_kw assembly shared by the three CLIs and
+    the ``make_serving_sampler*`` factories. ``conv_int8`` forces the flag
+    into both configs (None leaves ``cfg.conv_int8`` as is — the CLIs set it
+    at config-build time). ``relax_kw`` holds serving-only relaxations (e.g.
+    ``attn_softmax_dtype``): calibration stays on the exact fp32 path,
+    mirroring how conv/GN calibration runs exact math.
+
+    Returns ``(m_cal, m_serve)`` — ``m_cal`` is None when no tier needs a
+    calibration trajectory (then ``m_serve`` is just ``cfg`` + relaxations).
+    """
+    from bndm_tpu.models.unet2d import UNet2D
+
+    cal_kw, sta_kw = {}, {}
+    if conv_int8:
+        cal_kw.update(conv_int8=True)
+        sta_kw.update(conv_int8=True)
+    if int8_static:
+        cal_kw.update(int8_mode="calibrate")
+        sta_kw.update(int8_mode="static")
+    if static_gn:
+        if gn_steps is None:
+            raise ValueError("static_gn requires gn_steps")
+        cal_kw.update(gn_mode="calibrate", gn_steps=gn_steps)
+        sta_kw.update(gn_mode="static", gn_steps=gn_steps)
+    if relax_kw:
+        sta_kw.update(relax_kw)
+
+    m_serve = UNet2D(dataclasses.replace(cfg, **sta_kw)) if sta_kw else UNet2D(cfg)
+    needs_cal = int8_static or static_gn
+    m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw)) if needs_cal else None
+    return m_cal, m_serve
+
+
 def make_serving_sampler(
     cfg,
     params,
@@ -58,7 +102,6 @@ def make_serving_sampler(
     upcast fusions of the logits — 3 ms/step at the headline config, r3
     profile; fidelity-gated in scripts/bench_static_gn.py's ATTN_BF16 leg).
     """
-    from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.ops.int8 import calibrate_sampling
     from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_microbatched
 
@@ -68,24 +111,14 @@ def make_serving_sampler(
         two_head = cfg.out_channels == 2 * cfg.in_channels
     params = params.get("params", params)
 
-    cal_kw, sta_kw = {}, {}
-    if conv_int8:
-        cal_kw.update(conv_int8=True, int8_mode="calibrate")
-        sta_kw.update(conv_int8=True, int8_mode="static")
-    if static_gn:
-        cal_kw.update(gn_mode="calibrate", gn_steps=nb_steps)
-        sta_kw.update(gn_mode="static", gn_steps=nb_steps)
-    if attn_softmax_dtype is not None:
-        # calibration stays on the exact (fp32-softmax) path; only serving
-        # relaxes, mirroring how conv/GN calibration runs exact math
-        sta_kw.update(attn_softmax_dtype=attn_softmax_dtype)
-
-    if not cal_kw:  # nothing to calibrate: plain jitted sampler
-        model = UNet2D(dataclasses.replace(cfg, **sta_kw)) if sta_kw else UNet2D(cfg)
+    m_cal, model = serving_model_pair(
+        cfg, conv_int8=True if conv_int8 else None, int8_static=conv_int8,
+        static_gn=static_gn, gn_steps=nb_steps,
+        relax_kw={"attn_softmax_dtype": attn_softmax_dtype}
+        if attn_softmax_dtype is not None else None)
+    if m_cal is None:  # nothing to calibrate: plain jitted sampler
         p_serve = {"params": params}
     else:
-        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
-        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         if key is None:
             key = jax.random.PRNGKey(0)
         # calibration needs input shapes -> lazily run on the first sample()
@@ -109,8 +142,10 @@ def make_serving_sampler(
         """Denoise x0 (N, C, H, W) with the serving configuration."""
         if p_serve is None:
             _calibrate(x0)
-        if microbatch and x0.shape[0] > microbatch \
-                and x0.shape[0] % microbatch == 0:
+        # Non-divisible batches must NOT silently fall back to the
+        # full-batch sampler — that is the documented bs>=1000 HBM-OOM
+        # path; let sample_iadb_microbatched raise its divisibility error.
+        if microbatch and x0.shape[0] > microbatch:
             return sample_iadb_microbatched(
                 model.apply, p_serve, x0, microbatch=microbatch,
                 nb_steps=nb_steps, scheduler_alpha=scheduler_alpha,
@@ -146,27 +181,18 @@ def make_serving_sampler_ddim(
     index — so sampling runs with ``pass_step_idx`` (samplers/ddim.py).
     Returns ``sample(x0) -> denoised batch``.
     """
-    from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.ops.int8 import calibrate_sampling_ddim
     from bndm_tpu.samplers.ddim import sample_ddim
 
     params = params.get("params", params)
-    cal_kw, sta_kw = {}, {}
-    if conv_int8:
-        cal_kw.update(conv_int8=True, int8_mode="calibrate")
-        sta_kw.update(conv_int8=True, int8_mode="static")
-    if static_gn:
-        cal_kw.update(gn_mode="calibrate", gn_steps=num_inference_steps)
-        sta_kw.update(gn_mode="static", gn_steps=num_inference_steps)
-    if attn_softmax_dtype is not None:
-        sta_kw.update(attn_softmax_dtype=attn_softmax_dtype)
-
-    if not cal_kw:
-        model = UNet2D(dataclasses.replace(cfg, **sta_kw)) if sta_kw else UNet2D(cfg)
+    m_cal, model = serving_model_pair(
+        cfg, conv_int8=True if conv_int8 else None, int8_static=conv_int8,
+        static_gn=static_gn, gn_steps=num_inference_steps,
+        relax_kw={"attn_softmax_dtype": attn_softmax_dtype}
+        if attn_softmax_dtype is not None else None)
+    if m_cal is None:
         p_serve = {"params": params}
     else:
-        m_cal = UNet2D(dataclasses.replace(cfg, **cal_kw))
-        model = UNet2D(dataclasses.replace(cfg, **sta_kw))
         if key is None:
             key = jax.random.PRNGKey(0)
         p_serve = None

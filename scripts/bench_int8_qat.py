@@ -122,8 +122,10 @@ def main(batch=500, steps=250, res=64, calib_batch=8, qat_steps=20):
         _fetch(m["loss"])
         print(f"QAT fine-tune: {qat_steps} steps in "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
-        p_qat = {"params": jax.device_get(tr.state.params).get(
-            "params", jax.device_get(tr.state.params))}
+        # one host fetch of the 113M tree (dict.get's default arg is eager —
+        # inlining device_get twice would transfer ~450 MB over the relay twice)
+        host_params = jax.device_get(tr.state.params)
+        p_qat = {"params": host_params.get("params", host_params)}
         out_fq, _ = timed(m_f.apply, p_qat, "bf16 (post-QAT params)")
         out_wq, dt_wq = serve(p_qat, m_calw, m_staw,
                               "int8-static WIDE (post-QAT)")

@@ -127,6 +127,9 @@ def main(argv=None):
                      + (gamma_start - gamma_end).view(-1, 1, 1, 1) * d[:, 3:])
             else:
                 x = x + (alpha_start - alpha_end).view(-1, 1, 1, 1) * d
+            # the fp32 alpha blend promotes x to float32; cast back so the
+            # next model call matches half-precision weights (--dtype float16)
+            x = x.to(dtype)
     if device == "cuda":
         torch.cuda.synchronize()
     wall = time.time() - t_wall0

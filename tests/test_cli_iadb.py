@@ -115,3 +115,20 @@ def test_attn_softmax_relaxation_cli(workdir):
                    "--save_all_samples", "--conv_int8", "--int8_mode=static",
                    "--static_gn", "--attn_softmax_dtype=bfloat16"])
     assert len(list(imgdir.glob("*.png"))) == 2
+
+
+def test_microbatch_remainder_padding(workdir):
+    """A non-divisible last gallery batch (7 = 4 + 3 with --microbatch=2)
+    still goes through the microbatched scan — zero-padded to the next
+    multiple and sliced back — never silently through the full-batch
+    sampler (the documented bs>=1000 HBM-OOM path)."""
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2",
+                   "--lr=1e-4"])
+    main(COMMON + ["--train_or_test=test", "--test_samples=7",
+                   "--save_all_samples", "--microbatch=2"])
+    out = (workdir / "results_gaussianBN"
+           / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) == 7

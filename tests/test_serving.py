@@ -51,6 +51,43 @@ def test_plain_tier_matches_sample_iadb(tiny_params):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_serving_model_pair_configs():
+    """The shared (calibration, serving) pair builder: calibrate configs stay
+    on the exact path, serving configs get the static modes + relaxations."""
+    from bndm_tpu.serving import serving_model_pair
+
+    m_cal, m_serve = serving_model_pair(
+        TINY, conv_int8=True, int8_static=True, static_gn=True, gn_steps=6,
+        relax_kw={"attn_softmax_dtype": "bfloat16"})
+    assert m_cal.cfg.int8_mode == "calibrate"
+    assert m_cal.cfg.gn_mode == "calibrate" and m_cal.cfg.gn_steps == 6
+    assert m_cal.cfg.attn_softmax_dtype == "float32"  # calibration stays exact
+    assert m_serve.cfg.int8_mode == "static" and m_serve.cfg.gn_mode == "static"
+    assert m_serve.cfg.conv_int8 and m_serve.cfg.attn_softmax_dtype == "bfloat16"
+    # no calibrated tier: no calibration model, relaxation still applied
+    m_cal2, m_serve2 = serving_model_pair(
+        TINY, relax_kw={"attn_softmax_dtype": "bfloat16"})
+    assert m_cal2 is None
+    assert m_serve2.cfg.attn_softmax_dtype == "bfloat16"
+    # nothing at all: plain model of the input config
+    m_cal3, m_serve3 = serving_model_pair(TINY)
+    assert m_cal3 is None and m_serve3.cfg == TINY
+    with pytest.raises(ValueError, match="gn_steps"):
+        serving_model_pair(TINY, static_gn=True)
+
+
+def test_microbatch_non_divisible_raises(tiny_params):
+    """A batch larger than the microbatch but not divisible by it must raise
+    — never silently fall back to the full-batch sampler (that is the
+    documented bs>=1000 HBM-OOM path on v5e)."""
+    sample = make_serving_sampler(TINY, tiny_params, nb_steps=4,
+                                  conv_int8=False, static_gn=False,
+                                  microbatch=2)
+    x0 = jnp.zeros((5, 3, 16, 16), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        sample(x0)
+
+
 def test_static_gn_needs_linear_alpha(tiny_params):
     with pytest.raises(ValueError, match="linear"):
         make_serving_sampler(TINY, tiny_params, nb_steps=5,
