@@ -99,6 +99,15 @@ class UNet2DConfig:
     # serving tier may relax it to bf16 under the usual SSIM/PSNR gate
     # (scripts/bench_static_gn.py ATTN_BF16 leg). At <=256 tokens the logits'
     # dynamic range is tiny and jax.nn.softmax subtracts the row max anyway.
+    cache_depth: int = 1  # feature-reuse split point for the block-caching
+    # serving tier (samplers.iadb.sample_iadb_cached): on a cached step only
+    # the outermost `cache_depth` down blocks and the matching innermost-to-
+    # outermost `cache_depth` up blocks are recomputed; the trunk (deeper
+    # blocks + mid) is replaced by the `deep_feature` captured on the last
+    # full step. Does not change the param tree — it only selects which
+    # modules a shallow __call__ executes. cf. "Cache Me if You Can"
+    # (arXiv:2312.03209) / DeepCache; here the cache point is static so the
+    # whole alternation compiles into one lax.scan.
 
     @property
     def int8_arg(self):
@@ -494,12 +503,27 @@ class UNetMidBlock2D(nn.Module):
 
 
 class UNet2D(nn.Module):
-    """Full UNet. Public call signature: (x_NCHW, timesteps) -> out_NCHW."""
+    """Full UNet. Public call signature: (x_NCHW, timesteps) -> out_NCHW.
+
+    Feature-reuse serving (``cfg.cache_depth``, cf. arXiv:2312.03209):
+      * ``return_deep=True``: also return the trunk output — the input to the
+        outermost ``cache_depth`` up blocks (i.e. the output of up block
+        n-cache_depth-1 including its upsampler), NHWC, compute dtype.
+      * ``deep_feature=<that tensor>``: run only the outer shell — conv_in,
+        down blocks [0, cache_depth) (for their skip tensors), up blocks
+        [n-cache_depth, n), conv_out — splicing ``deep_feature`` in place of
+        the trunk. With the deep feature captured at the SAME (x, t) this is
+        exactly the full forward (tested); a cached-step forward reuses the
+        previous full step's trunk output instead.
+    The param tree is unchanged; a shallow call simply leaves the trunk
+    modules unvisited (flax ignores unused params at apply time).
+    """
 
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, deterministic=True, step_idx=None):
+    def __call__(self, x, timesteps, deterministic=True, step_idx=None,
+                 deep_feature=None, return_deep=False):
         cfg = self.cfg
         dt = cfg.compute_dtype
         if jnp.ndim(timesteps) == 0:
@@ -533,34 +557,59 @@ class UNet2D(nn.Module):
 
         skips = [h]
         n = len(cfg.block_out_channels)
-        for i, (btype, c) in enumerate(zip(cfg.down_block_types, cfg.block_out_channels)):
+        depth = cfg.cache_depth
+        shallow = deep_feature is not None
+        if shallow and return_deep:
+            raise ValueError("a shallow (cached) call cannot return_deep")
+        if (shallow or return_deep) and not (1 <= depth < n):
+            raise ValueError(f"cache_depth {depth} must be in [1, {n - 1}]")
+        for i in range(depth if shallow else n):
+            btype, c = cfg.down_block_types[i], cfg.block_out_channels[i]
+            # shallow pass: block depth-1's downsample output feeds only the
+            # trunk (not run) and its skip is consumed only by trunk up
+            # blocks, so it is skipped; blocks < depth-1 keep theirs (the
+            # downsampled tensor feeds the next shell block and its skip is
+            # consumed by an outer-shell up block)
+            add_ds = (i < depth - 1) if shallow else (i < n - 1)
             h, s = DownBlock2D(
                 out_channels=c,
                 num_layers=cfg.layers_per_block,
                 with_attn=(btype == "AttnDownBlock2D"),
-                add_downsample=(i < n - 1),
+                add_downsample=add_ds,
                 cfg=cfg,
                 name=f"down_blocks_{i}",
             )(h, temb, deterministic, step_idx)
             skips.extend(s)
 
-        h = UNetMidBlock2D(cfg, name="mid_block")(h, temb, deterministic, step_idx)
-
         rev_channels = list(reversed(cfg.block_out_channels))
-        for i, btype in enumerate(cfg.up_block_types):
-            c = rev_channels[i]
-            h = UpBlock2D(
-                out_channels=c,
+
+        def up_block(i, h):
+            return UpBlock2D(
+                out_channels=rev_channels[i],
                 num_layers=cfg.layers_per_block + 1,
-                with_attn=(btype == "AttnUpBlock2D"),
+                with_attn=(cfg.up_block_types[i] == "AttnUpBlock2D"),
                 add_upsample=(i < n - 1),
                 cfg=cfg,
                 name=f"up_blocks_{i}",
             )(h, skips, temb, deterministic, step_idx)
+
+        if shallow:
+            deep = None
+            h = deep_feature.astype(dt)
+        else:
+            h = UNetMidBlock2D(cfg, name="mid_block")(h, temb, deterministic, step_idx)
+            for i in range(n - depth):
+                h = up_block(i, h)
+            deep = h  # trunk output: input to the outer-shell up blocks
+        for i in range(n - depth, n):
+            h = up_block(i, h)
 
         h = _gn(cfg.norm_num_groups, cfg.norm_eps, cfg.gn_dtype, cfg.gn_mode,
                 cfg.gn_steps, "conv_norm_out")(h, step_idx)
         h = ACT[cfg.act_fn](h).astype(dt)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1,
                     dtype=jnp.dtype(cfg.conv_out_dtype), name="conv_out")(h)
-        return jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
+        out = jnp.transpose(h, (0, 3, 1, 2))  # NHWC -> NCHW
+        if return_deep:
+            return out, deep
+        return out

@@ -115,11 +115,102 @@ def sample_iadb(
     return x, frames
 
 
+def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
+                  cache_interval, alpha, gamma, two_head):
+    """The feature-reuse reverse chain: scan over macro groups of
+    ``cache_interval`` steps — one full forward (which also returns the
+    trunk output) then ``cache_interval - 1`` shallow forwards reusing it —
+    plus a trailing short group for ``rem = nb_steps % cache_interval``.
+
+    ``ts0``: (n_macro,) descending group-start timesteps;
+    ``apply_full(params, x, t) -> (d, deep)``;
+    ``apply_shallow(params, x, t, deep) -> d``.
+    """
+
+    def one_step(x, t, d):
+        a_s, a_e = alpha(t + 1.0), alpha(t)
+        g_s, g_e = gamma(t + 1.0), gamma(t)
+        return iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
+
+    def tt(x, t):
+        return jnp.broadcast_to(alpha(t + 1.0), (x.shape[0],))
+
+    def group(x, t0, m):
+        d, deep = apply_full(params, x, tt(x, t0))
+        x = one_step(x, t0, d)
+        for j in range(1, m):  # static unroll: one compiled macro body
+            t = t0 - j
+            d = apply_shallow(params, x, tt(x, t), deep)
+            x = one_step(x, t, d)
+        return x
+
+    def body(x, t0):
+        return group(x, t0, cache_interval), None
+
+    x, _ = jax.lax.scan(body, x, ts0)
+    if rem:  # final t = rem-1 .. 0 (fresh full forward, then shallow)
+        x = group(x, jnp.float32(rem - 1), rem)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apply_full", "apply_shallow", "nb_steps", "cache_interval",
+        "scheduler_alpha", "alpha_param", "scheduler_gamma", "two_head",
+    ),
+)
+def sample_iadb_cached(
+    apply_full,
+    apply_shallow,
+    params,
+    x0,
+    *,
+    nb_steps,
+    cache_interval,
+    scheduler_alpha="linear",
+    alpha_param=0.02,
+    scheduler_gamma="linear",
+    gamma_params=(1.0, 0.0, 3.0),
+    two_head=False,
+):
+    """Feature-reuse (block-caching) serving sampler, cf. "Cache Me if You
+    Can" (arXiv:2312.03209) / DeepCache — TPU-first: the cache point and
+    interval are static, so the full/shallow alternation compiles into ONE
+    lax.scan over macro groups (no lax.cond, no per-step dispatch).
+
+    Every ``cache_interval``-th step runs the full UNet and captures the
+    trunk output (``apply_full(params, x, t) -> (d, deep)``, see
+    UNet2D(return_deep=True)); the following ``cache_interval - 1`` steps
+    recompute only the outer shell around the cached trunk
+    (``apply_shallow(params, x, t, deep) -> d``, UNet2D(deep_feature=...)).
+    ``cache_interval=1`` is exactly the plain sampler (tested). Serving-only:
+    no frame collection, no conditional x_c; fidelity must be gated like
+    every serving tier (scripts/bench_deepcache.py).
+    """
+    gamma_params = jnp.asarray(gamma_params, jnp.float32)
+    if cache_interval < 1:
+        raise ValueError(f"cache_interval {cache_interval} must be >= 1")
+    rem = nb_steps % cache_interval
+
+    def alpha(t):
+        return alpha_schedule(t, nb_steps, scheduler_alpha, alpha_param)
+
+    def gamma(t):
+        return gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params)
+
+    ts0 = jnp.arange(nb_steps - 1, rem - 1, -cache_interval, dtype=jnp.float32)
+    return _cached_chain(
+        apply_full, apply_shallow, params, x0, ts0, rem,
+        cache_interval=cache_interval, alpha=alpha, gamma=gamma,
+        two_head=two_head)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "apply_fn", "microbatch", "nb_steps", "scheduler_alpha", "alpha_param",
-        "scheduler_gamma", "two_head",
+        "scheduler_gamma", "two_head", "apply_shallow_fn", "cache_interval",
     ),
     donate_argnums=(2,),
 )
@@ -135,10 +226,16 @@ def sample_iadb_microbatched(
     scheduler_gamma="linear",
     gamma_params=(1.0, 0.0, 3.0),
     two_head=False,
+    apply_shallow_fn=None,
+    cache_interval=None,
 ):
     """Gallery-scale serving: one compiled program that denoises an effective
     batch of ``B = K * microbatch`` samples as a scan over K microbatches,
     each running the full ``nb_steps`` reverse chain.
+
+    With ``cache_interval`` set, each microbatch's chain is the feature-reuse
+    chain of :func:`sample_iadb_cached` (then ``apply_fn(params, x, t)`` must
+    return ``(d, deep)`` and ``apply_shallow_fn(params, x, t, deep) -> d``).
 
     Why: the full-batch sampler's activation watermark grows with B, and the
     v5e worker OOMs at B=1000 for the 113M res-64 UNet (the reference's
@@ -170,6 +267,15 @@ def sample_iadb_microbatched(
         return gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params)
 
     def denoise_one(x, _):
+        if cache_interval:
+            rem = nb_steps % cache_interval
+            ts0 = jnp.arange(nb_steps - 1, rem - 1, -cache_interval,
+                             dtype=jnp.float32)
+            return _cached_chain(
+                apply_fn, apply_shallow_fn, params, x, ts0, rem,
+                cache_interval=cache_interval, alpha=alpha, gamma=gamma,
+                two_head=two_head), None
+
         def body(x, t):
             a_s, a_e = alpha(t + 1.0), alpha(t)
             g_s, g_e = gamma(t + 1.0), gamma(t)

@@ -88,6 +88,7 @@ def make_serving_sampler(
     gamma_params=(1.0, 0.0, 3.0),
     two_head: Optional[bool] = None,
     attn_softmax_dtype: Optional[str] = None,
+    cache_interval: Optional[int] = None,
 ):
     """Calibrate once, then serve.
 
@@ -101,9 +102,15 @@ def make_serving_sampler(
     fp32 parity default (e.g. "bfloat16" removes the layout-changing fp32
     upcast fusions of the logits — 3 ms/step at the headline config, r3
     profile; fidelity-gated in scripts/bench_static_gn.py's ATTN_BF16 leg).
+    ``cache_interval``: feature-reuse (block-caching) tier — every
+    cache_interval-th step runs the full UNet, the steps between recompute
+    only the outer ``cfg.cache_depth`` shell around the cached trunk output
+    (samplers.iadb.sample_iadb_cached; fidelity-gated in
+    scripts/bench_deepcache.py). Calibration always runs the full model.
     """
     from bndm_tpu.ops.int8 import calibrate_sampling
-    from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_microbatched
+    from bndm_tpu.samplers.iadb import (
+        sample_iadb, sample_iadb_cached, sample_iadb_microbatched)
 
     if static_gn and scheduler_alpha != "linear":
         raise ValueError("static_gn requires the linear alpha schedule")
@@ -138,6 +145,14 @@ def make_serving_sampler(
             two_head=two_head)
         p_serve = {"params": params, "quant": quant}
 
+    caching = cache_interval is not None and cache_interval > 1
+
+    def apply_full(p, x, t):
+        return model.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return model.apply(p, x, t, deep_feature=deep)
+
     def sample(x0):
         """Denoise x0 (N, C, H, W) with the serving configuration."""
         if p_serve is None:
@@ -147,10 +162,20 @@ def make_serving_sampler(
         # path; let sample_iadb_microbatched raise its divisibility error.
         if microbatch and x0.shape[0] > microbatch:
             return sample_iadb_microbatched(
-                model.apply, p_serve, x0, microbatch=microbatch,
+                apply_full if caching else model.apply, p_serve, x0,
+                microbatch=microbatch,
                 nb_steps=nb_steps, scheduler_alpha=scheduler_alpha,
                 alpha_param=alpha_param, scheduler_gamma=scheduler_gamma,
-                gamma_params=gp, two_head=two_head)
+                gamma_params=gp, two_head=two_head,
+                apply_shallow_fn=apply_shallow if caching else None,
+                cache_interval=cache_interval if caching else None)
+        if caching:
+            return sample_iadb_cached(
+                apply_full, apply_shallow, p_serve, x0, nb_steps=nb_steps,
+                cache_interval=cache_interval,
+                scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
+                scheduler_gamma=scheduler_gamma, gamma_params=gp,
+                two_head=two_head)
         out, _ = sample_iadb(
             model.apply, p_serve, x0, nb_steps=nb_steps,
             scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,

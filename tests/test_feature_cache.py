@@ -1,0 +1,182 @@
+"""Feature-reuse (block-caching) serving tier, cf. "Cache Me if You Can"
+(arXiv:2312.03209) / DeepCache: UNet2D's return_deep / deep_feature split
+(models/unet2d.py) and samplers.iadb.sample_iadb_cached.
+
+Exactness contract: a shallow forward spliced with the deep feature captured
+at the SAME (x, t) must reproduce the full forward bit-for-bit — the shell
+modules see identical inputs (same skips, same trunk output), so any
+difference is an indexing bug in the skip bookkeeping."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bndm_tpu.models.unet2d import UNet2D, UNet2DConfig
+from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_cached
+
+TINY = UNet2DConfig(
+    in_channels=3, out_channels=6, block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    attention_head_dim=4, norm_num_groups=4)
+
+TINY3 = UNet2DConfig(
+    in_channels=3, out_channels=3, block_out_channels=(8, 8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
+    attention_head_dim=4, norm_num_groups=4)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    m = UNet2D(TINY)
+    return m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)),
+                  jnp.zeros((1,)))
+
+
+def _x(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape),
+                       jnp.float32)
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_shallow_equals_full_at_same_xt(depth):
+    """Full forward == shallow forward given the deep feature from the same
+    (x, t), for every legal cache_depth of a 3-level UNet."""
+    cfg = dataclasses.replace(TINY3, cache_depth=depth)
+    m = UNet2D(cfg)
+    x = _x((2, 3, 32, 32), seed=1)
+    t = jnp.full((2,), 0.7, jnp.float32)
+    params = m.init(jax.random.PRNGKey(1), x, t)
+    full, deep = m.apply(params, x, t, return_deep=True)
+    assert deep.shape[0] == 2 and deep.ndim == 4  # NHWC trunk output
+    shallow = m.apply(params, x, t, deep_feature=deep)
+    np.testing.assert_array_equal(np.asarray(shallow), np.asarray(full))
+    # and both equal the plain call
+    plain = m.apply(params, x, t)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(plain))
+
+
+def test_shallow_call_validation(tiny_params):
+    m = UNet2D(TINY)
+    x = _x((1, 3, 16, 16))
+    t = jnp.zeros((1,))
+    _, deep = m.apply(tiny_params, x, t, return_deep=True)
+    with pytest.raises(ValueError, match="cannot return_deep"):
+        m.apply(tiny_params, x, t, deep_feature=deep, return_deep=True)
+    bad = UNet2D(dataclasses.replace(TINY, cache_depth=2))
+    p_bad = bad.init(jax.random.PRNGKey(0), x, t)  # init runs the full path
+    with pytest.raises(ValueError, match="cache_depth"):
+        bad.apply(p_bad, x, t, return_deep=True)
+
+
+def test_cached_interval1_equals_plain(tiny_params):
+    """cache_interval=1 is the plain sampler (every step full)."""
+    m = UNet2D(TINY)
+
+    def apply_full(p, x, t):
+        return m.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return m.apply(p, x, t, deep_feature=deep)
+
+    x0 = _x((2, 3, 16, 16), seed=2)
+    want, _ = sample_iadb(m.apply, tiny_params, x0, nb_steps=5, two_head=True)
+    got = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0,
+                             nb_steps=5, cache_interval=1, two_head=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("nb_steps,interval", [(6, 2), (7, 3), (2, 5)])
+def test_cached_chain_runs(tiny_params, nb_steps, interval):
+    """Macro-group scan covers every step incl. the remainder group and the
+    interval > nb_steps edge (empty scan, one trailing short group)."""
+    m = UNet2D(TINY)
+
+    def apply_full(p, x, t):
+        return m.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return m.apply(p, x, t, deep_feature=deep)
+
+    x0 = _x((2, 3, 16, 16), seed=3)
+    out = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0,
+                             nb_steps=nb_steps, cache_interval=interval,
+                             two_head=True)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # the cached chain ran real updates (not a no-op)
+    assert not np.allclose(np.asarray(out), np.asarray(x0))
+
+
+def test_cached_matches_eager_oracle(tiny_params):
+    """The scan-over-macro-groups chain equals an eager python loop that
+    refreshes the deep feature every `interval` steps."""
+    m = UNet2D(TINY)
+    nb_steps, interval = 5, 2
+    x0 = _x((1, 3, 16, 16), seed=4)
+
+    from bndm_tpu.ops.schedules import alpha_schedule, gamma_schedule
+    gp = jnp.asarray((1.0, 0.0, 3.0), jnp.float32)
+
+    x, deep = x0, None
+    for t in range(nb_steps - 1, -1, -1):
+        a_s = alpha_schedule(jnp.float32(t + 1), nb_steps, "linear", 0.02)
+        a_e = alpha_schedule(jnp.float32(t), nb_steps, "linear", 0.02)
+        g_s = gamma_schedule(jnp.float32(t + 1), nb_steps, "linear", gp)
+        g_e = gamma_schedule(jnp.float32(t), nb_steps, "linear", gp)
+        tt = jnp.broadcast_to(a_s, (x.shape[0],))
+        # group starts where the remaining step count hits a group boundary:
+        # t = nb-1, nb-1-interval, ... plus the remainder group start
+        steps_done = nb_steps - 1 - t
+        rem = nb_steps % interval
+        is_full = (steps_done % interval == 0) if t >= rem else (t == rem - 1)
+        if is_full:
+            d, deep = m.apply(tiny_params, x, tt, return_deep=True)
+        else:
+            d = m.apply(tiny_params, x, tt, deep_feature=deep)
+        c = x.shape[1]
+        x = x + (a_s - a_e) * d[:, :c] + (g_s - g_e) * d[:, c:]
+
+    def apply_full(p, xx, t):
+        return m.apply(p, xx, t, return_deep=True)
+
+    def apply_shallow(p, xx, t, deep):
+        return m.apply(p, xx, t, deep_feature=deep)
+
+    got = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0,
+                             nb_steps=nb_steps, cache_interval=interval,
+                             two_head=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_serving_cache_interval(tiny_params):
+    """make_serving_sampler(cache_interval=2) composes with int8-static +
+    static-GN, both full-batch and microbatched."""
+    from bndm_tpu.serving import make_serving_sampler
+
+    sample = make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                                  conv_int8=True, static_gn=True,
+                                  microbatch=2, cache_interval=2)
+    x0 = _x((4, 3, 16, 16), seed=5)
+    out = sample(jnp.array(x0))  # microbatched path donates the buffer
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = sample(x0[:2])  # full-batch cached path
+    assert out2.shape == (2, 3, 16, 16)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_cached_interval_validation(tiny_params):
+    m = UNet2D(TINY)
+    x0 = _x((1, 3, 16, 16))
+    with pytest.raises(ValueError, match="cache_interval"):
+        sample_iadb_cached(lambda p, x, t: m.apply(p, x, t, return_deep=True),
+                           lambda p, x, t, d: m.apply(p, x, t, deep_feature=d),
+                           tiny_params, x0, nb_steps=4, cache_interval=0,
+                           two_head=True)
