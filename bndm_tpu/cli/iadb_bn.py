@@ -117,6 +117,18 @@ def parse_args(argv=None):
                         "(holds only one microbatch's UNet activations — "
                         "breaks the bs=500 HBM ceiling for 30k-sample runs; "
                         "seqs/ frames are skipped in this mode)")
+    p.add_argument("--cache_interval", type=int, default=None,
+                   help="serving: feature-reuse (block-caching) tier, cf. "
+                        "DeepCache (arXiv:2312.03209) — every Nth step runs "
+                        "the full UNet, the steps between recompute only the "
+                        "outer --cache_depth shell around the cached trunk "
+                        "output (samplers.iadb.sample_iadb_cached; fidelity-"
+                        "gated in scripts/bench_deepcache.py). Unconditional "
+                        "test only; seqs/ frames are skipped")
+    p.add_argument("--cache_depth", type=int, default=1,
+                   help="with --cache_interval: how many outer down/up "
+                        "blocks a cached step recomputes (1 = only the "
+                        "full-resolution shell)")
     # multi-host launch (replaces the reference's `accelerate launch`,
     # ddim_diffusers.py:295-301): run one process per host with the same
     # flags plus these three; on TPU pods with a cluster env all three are
@@ -155,6 +167,10 @@ def build(opt):
         mcfg = unet_config_for_res(opt.res, in_channels=in_ch, out_channels=opt.out_channel,
                                    act_fn=opt.activation, dtype=opt.compute_dtype,
                                    conv_int8=opt.conv_int8)
+    if opt.cache_depth != 1:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, cache_depth=opt.cache_depth)
     if opt.attn_softmax_dtype != "float32" and opt.train_or_test == "train":
         # honored in training too (no silent no-op); test mode applies it to
         # the serving model only, keeping calibration on the exact path
@@ -403,6 +419,13 @@ def run_test(opt):
         # back; samples are independent so pad rows cannot perturb real ones.
         use_mb = opt.microbatch and x0.shape[0] > opt.microbatch
         mb_pad = (-x0.shape[0]) % opt.microbatch if use_mb else 0
+        caching = opt.cache_interval is not None and opt.cache_interval > 1
+
+        def apply_full(p, x, t):
+            return model.apply(p, x, t, return_deep=True)
+
+        def apply_shallow(p, x, t, deep):
+            return model.apply(p, x, t, deep_feature=deep)
 
         def _run():
             if use_mb:
@@ -413,14 +436,29 @@ def run_test(opt):
                     xin = jnp.concatenate(
                         [xin, jnp.zeros((mb_pad,) + xin.shape[1:], xin.dtype)])
                 s = sample_iadb_microbatched(
-                    model.apply, params, xin, microbatch=opt.microbatch,
+                    apply_full if caching else model.apply, params, xin,
+                    microbatch=opt.microbatch,
                     nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
                     alpha_param=opt.scheduler_param,
                     scheduler_gamma=opt.scheduler_gamma,
                     gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                    apply_shallow_fn=apply_shallow if caching else None,
+                    cache_interval=opt.cache_interval if caching else None,
                 )
                 if mb_pad:
                     s = s[: x0.shape[0]]
+                return jax.block_until_ready(s), None
+            if caching:
+                from bndm_tpu.samplers.iadb import sample_iadb_cached
+
+                s = sample_iadb_cached(
+                    apply_full, apply_shallow, params, x0,
+                    nb_steps=opt.nb_steps, cache_interval=opt.cache_interval,
+                    scheduler_alpha=opt.scheduler_alpha,
+                    alpha_param=opt.scheduler_param,
+                    scheduler_gamma=opt.scheduler_gamma,
+                    gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                )
                 return jax.block_until_ready(s), None
             s, f = sample_iadb(
                 model.apply, params, x0,
@@ -540,6 +578,9 @@ def main(argv=None):
 
         init_distributed(opt.coordinator_address, opt.num_processes,
                          opt.process_id)
+    if opt.cache_interval and opt.cache_interval > 1 and opt.is_conditional:
+        raise SystemExit("--cache_interval is unconditional-serving only "
+                         "(the cached sampler carries no x_c conditioning)")
     np.random.seed(opt.seed)
     if opt.train_or_test == "train":
         run_train(opt)

@@ -132,3 +132,31 @@ def test_microbatch_remainder_padding(workdir):
            / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
     imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
     assert len(list(imgdir.glob("*.png"))) == 7
+
+def test_cache_interval_serving_path(workdir):
+    """--cache_interval=2: the feature-reuse (block-caching) tier through the
+    CLI — full-batch cached chain, then composed with --microbatch, then the
+    conditional guard."""
+    from bndm_tpu.cli.iadb_bn import main
+
+    main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2",
+                   "--lr=1e-4"])
+    out = (workdir / "results_gaussianBN"
+           / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
+    imgdir = out / "tinycat_iadb_gwn2gbn_steps20" / "images"
+
+    main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                   "--save_all_samples", "--cache_interval=2"])
+    assert len(list(imgdir.glob("*.png"))) == 2
+    for f in imgdir.glob("*.png"):
+        f.unlink()
+
+    main(COMMON + ["--train_or_test=test", "--test_samples=4",
+                   "--save_all_samples", "--cache_interval=2",
+                   "--microbatch=2", "--conv_int8", "--int8_mode=static"])
+    assert len(list(imgdir.glob("*.png"))) == 4
+
+    with pytest.raises(SystemExit, match="unconditional"):
+        main(COMMON + ["--train_or_test=test", "--test_samples=2",
+                       "--cache_interval=2", "--is_conditional",
+                       "--conditional_type=superres"])
