@@ -214,23 +214,78 @@ def _bench_resample(model, params, batch=500, steps=250, res=64):
     return batch / dt, dt
 
 
+def _bench_sampling_cached(model, params, cache_interval, steps=250, res=64,
+                           batch=500):
+    """Feature-reuse (block-caching) tier on an already-calibrated serving
+    (model, params) pair: every cache_interval-th step runs the full UNet,
+    the steps between recompute only the outer shell around the cached trunk
+    output (samplers.iadb.sample_iadb_cached, cf. DeepCache). Fidelity is
+    measured IN-RUN: SSIM/PSNR vs the same model's uncached output on the
+    identical timed input. Returns (sps, dt, ssim, psnr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_cached
+    from bndm_tpu.utils.metrics import psnr, ssim
+
+    def apply_full(p, x, t):
+        return model.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return model.apply(p, x, t, deep_feature=deep)
+
+    def run(p, x):
+        return sample_iadb_cached(
+            apply_full, apply_shallow, p, x, nb_steps=steps,
+            cache_interval=cache_interval, scheduler_gamma="sigmoid",
+            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+        )
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+    _fetch(run(params, x0))  # compile + warmup
+    t0 = time.perf_counter()
+    out = run(params, x1)
+    _fetch(out)
+    dt = time.perf_counter() - t0
+    ref, _ = sample_iadb(  # uncached reference on the identical input
+        model.apply, params, x1, nb_steps=steps, scheduler_gamma="sigmoid",
+        gamma_params=(1000.0, 0.0, 3.0), two_head=True)
+    a = jnp.clip((ref + 1) / 2, 0, 1)
+    b = jnp.clip((out + 1) / 2, 0, 1)
+    return (batch / dt, dt, float(jnp.mean(ssim(b, a))),
+            float(jnp.mean(psnr(b, a))))
+
+
 def _bench_sampling_microbatched(model, params, total=1000, microbatch=500,
-                                 steps=250, res=64):
+                                 steps=250, res=64, cache_interval=None):
     """Gallery serving at effective batch `total` via the microbatched scan
     (one compiled program, bs=500 activation watermark — r2's bs=1000
-    full-batch attempt OOM'd the v5e worker). Returns (sps, dt)."""
+    full-batch attempt OOM'd the v5e worker). With ``cache_interval`` each
+    microbatch's chain is the feature-reuse chain. Returns (sps, dt)."""
     import jax
     import jax.numpy as jnp
 
     from bndm_tpu.samplers.iadb import sample_iadb_microbatched
 
+    caching = cache_interval is not None and cache_interval > 1
+
+    def apply_full(p, x, t):
+        return model.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return model.apply(p, x, t, deep_feature=deep)
+
     def run(key):
         # x0 generated fresh per call (the sample buffer is donated)
         x0 = jax.random.normal(key, (total, 3, res, res), jnp.float32)
         return sample_iadb_microbatched(
-            model.apply, params, x0, microbatch=microbatch,
+            apply_full if caching else model.apply, params, x0,
+            microbatch=microbatch,
             nb_steps=steps, scheduler_gamma="sigmoid",
             gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+            apply_shallow_fn=apply_shallow if caching else None,
+            cache_interval=cache_interval if caching else None,
         )
 
     _fetch(run(jax.random.PRNGKey(3)))  # compile + warmup
@@ -360,6 +415,37 @@ def main():
                 m_sta = m_attn  # microbatch the fastest tier
         except Exception as e:  # noqa: BLE001
             print(f"attn-bf16 bench failed ({e})", flush=True)
+    # feature-reuse (block-caching) tier on the fastest calibrated serving
+    # configuration (r3, cf. DeepCache): every BENCH_CACHE_INTERVAL-th step
+    # (default 3) runs the full UNet, the steps between recompute only the
+    # full-resolution shell around the cached trunk output. Unlike the other
+    # tiers the fidelity gate runs IN-RUN (SSIM>=0.99 / PSNR>=35 dB vs the
+    # same model uncached on the identical timed input) — a failed gate drops
+    # the tier for this run. Measured r3: interval=3 -> 32.28 vs 21.86
+    # samples/s = 1.477x at SSIM 1.000 / PSNR 59.7 dB
+    # (scripts/bench_deepcache.py). BENCH_CACHE=0 skips.
+    sps_cache = None
+    cache_fid = None
+    cache_interval = None
+    if (m_sta is not None and "serving" in mode
+            and os.environ.get("BENCH_CACHE", "1") != "0"):
+        try:
+            iv = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
+            sps_c, dt_c, ssim_c, psnr_c = _bench_sampling_cached(
+                m_sta, p_sta, iv)
+            cache_fid = {"ssim": round(ssim_c, 4), "psnr_db": round(psnr_c, 2)}
+            gate = ssim_c >= 0.99 and psnr_c >= 35.0
+            print(f"cached(i={iv}): {sps_c:.2f} samples/s, SSIM {ssim_c:.4f} "
+                  f"PSNR {psnr_c:.1f} dB gate={'pass' if gate else 'FAIL'}",
+                  flush=True)
+            if gate:
+                sps_cache = sps_c
+                if sps_c > sps:
+                    sps, sample_dt = sps_c, dt_c
+                    mode += f" + cached(i={iv})"
+                    cache_interval = iv  # microbatch the cached tier
+        except Exception as e:  # noqa: BLE001
+            print(f"cached bench failed ({e})", flush=True)
     # gallery serving at effective batch 1000 (microbatched scan) on the
     # fastest serving configuration; BENCH_MB=0 skips
     sps_mb = None
@@ -372,7 +458,7 @@ def main():
         try:
             mb_batch = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
             sps_mb, sample_dt_mb = _bench_sampling_microbatched(
-                m_sta, p_sta, total=mb_batch)
+                m_sta, p_sta, total=mb_batch, cache_interval=cache_interval)
             if sps_mb > sps:
                 sps, sample_dt = sps_mb, sample_dt_mb
                 mode += f" microbatched (eff. bs={mb_batch})"
@@ -419,6 +505,10 @@ def main():
                                        "exact-GN on identical x0 — no "
                                        "measurable error added (r3, v5e)"
                                        if sps_attn else None),
+            "cached_sps": round(sps_cache, 3) if sps_cache else None,
+            "cached_interval": cache_interval,
+            # measured IN-RUN vs the same model uncached on the timed input
+            "cached_fidelity": cache_fid,
             "microbatched_sps": round(sps_mb, 3) if sps_mb else None,
             "microbatched_effective_batch": mb_batch if sps_mb else None,
             # provenance reference, NOT measured in this run — the fidelity

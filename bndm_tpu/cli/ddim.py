@@ -284,6 +284,10 @@ def main(argv=None):
     from bndm_tpu.cli.hf_args import parse_args
 
     args = parse_args(argv)
+    if args.cache_interval and args.cache_interval > 1:
+        raise SystemExit("--cache_interval is not supported by the DDIM "
+                         "baseline (sample_ddim has no cached variant); use "
+                         "the latent/pixel IADB CLIs")
     if args.coordinator_address or (args.num_processes or 0) > 1:
         from bndm_tpu.parallel.distributed import init_distributed
 

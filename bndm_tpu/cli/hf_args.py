@@ -101,6 +101,18 @@ def build_parser():
                         "parity; bfloat16 removes the fp32 logit-upcast "
                         "fusions, ~3%% of the serving step — fidelity-gated "
                         "in scripts/bench_static_gn.py)")
+    p.add_argument("--cache_interval", type=int, default=None,
+                   help="serving (latent IADB test only): feature-reuse "
+                        "(block-caching) tier, cf. DeepCache "
+                        "(arXiv:2312.03209) — every Nth step runs the full "
+                        "UNet, the steps between recompute only the outer "
+                        "--cache_depth shell around the cached trunk output "
+                        "(fidelity-gated in scripts/bench_deepcache.py). "
+                        "The DDIM baseline rejects it (its sampler has no "
+                        "cached variant)")
+    p.add_argument("--cache_depth", type=int, default=1,
+                   help="with --cache_interval: outer down/up blocks a "
+                        "cached step recomputes")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
     p.add_argument("--profile_dir", type=str, default=None,

@@ -378,6 +378,17 @@ def run_test(opt):
         "cat_res64": [4], "cat_res128": [52], "celeba_res64": [37],
         "celeba_res128": [10], "church_res64": [4, 23, 32, 36],
     }.get(opt.dataset)
+
+    # defined ONCE (not per batch): these closures are static jit args of the
+    # cached sampler, and fresh function objects would retrace every batch
+    caching = opt.cache_interval is not None and opt.cache_interval > 1
+
+    def apply_full(p, x, t):
+        return model.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return model.apply(p, x, t, deep_feature=deep)
+
     for i in range(nb_batches):
         if replicability_batches is not None and not opt.save_all_samples \
                 and i not in replicability_batches:
@@ -419,13 +430,6 @@ def run_test(opt):
         # back; samples are independent so pad rows cannot perturb real ones.
         use_mb = opt.microbatch and x0.shape[0] > opt.microbatch
         mb_pad = (-x0.shape[0]) % opt.microbatch if use_mb else 0
-        caching = opt.cache_interval is not None and opt.cache_interval > 1
-
-        def apply_full(p, x, t):
-            return model.apply(p, x, t, return_deep=True)
-
-        def apply_shallow(p, x, t, deep):
-            return model.apply(p, x, t, deep_feature=deep)
 
         def _run():
             if use_mb:

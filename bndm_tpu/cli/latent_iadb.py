@@ -252,6 +252,10 @@ def run_test(args):
         out_channels = cfg.out_channels
     else:
         cfg = latent_unet_config(args, out_channels)
+    if args.cache_depth != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, cache_depth=args.cache_depth)
     model = UNet2D(cfg)
     vae, vae_params = get_vae(args)
     two_head = args.noise_type in ("gaussianBN", "gaussianRN") and out_channels == 8
@@ -287,6 +291,15 @@ def run_test(args):
               f"({len(jax.tree_util.tree_leaves(quant))} conv sites)")
     num_batch = max(args.test_samples // args.eval_batch_size, 1)
     cnt = 0
+
+    # defined ONCE (not per batch): static jit args of the cached sampler —
+    # fresh function objects would retrace every batch
+    def apply_full(p, x, t):
+        return model.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return model.apply(p, x, t, deep_feature=deep)
+
     save_name = {"gaussian": "iadb_gwn", "gaussianBN": "iadb_gwn2gbn",
                  "gaussianRN": "iadb_gwn2grn"}[args.noise_type]
     for i in range(num_batch):
@@ -302,9 +315,19 @@ def run_test(args):
         x0 = jnp.asarray(noise)
 
         def _run():
-            z, _ = sample_iadb(model.apply, params, x0,
-                               nb_steps=args.ddpm_num_inference_steps,
-                               two_head=two_head)
+            if args.cache_interval and args.cache_interval > 1:
+                # feature-reuse serving tier (cf. DeepCache) — same linear
+                # alpha=gamma defaults as the plain latent sampler
+                from bndm_tpu.samplers.iadb import sample_iadb_cached
+
+                z = sample_iadb_cached(
+                    apply_full, apply_shallow, params, x0,
+                    nb_steps=args.ddpm_num_inference_steps,
+                    cache_interval=args.cache_interval, two_head=two_head)
+            else:
+                z, _ = sample_iadb(model.apply, params, x0,
+                                   nb_steps=args.ddpm_num_inference_steps,
+                                   two_head=two_head)
             return jax.block_until_ready(decode(vae_params, z))
 
         t0 = time.time()

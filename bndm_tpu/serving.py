@@ -7,6 +7,9 @@ The serving tiers (each fidelity-gated on v5e, PARITY.md §6):
   + static-GN       20.93  (SSIM 0.9996 / PSNR 40 dB vs exact-GN)
   + bf16 softmax    21.68  (same gate numbers — no added error)
   + microbatched    21.89 at effective batch 1000+ (no HBM ceiling)
+  + cached(i=3)     32.28  (feature-reuse/DeepCache: SSIM 1.000 /
+                            PSNR 59.7 dB vs uncached on identical x0;
+                            interval=2 gives 28.73 at PSNR 61.4 dB)
 
 ``make_serving_sampler`` builds the calibrate/static model pair, runs the
 one-off exact calibration trajectory (conv activation scales + per-step

@@ -99,3 +99,27 @@ def test_latent_int8_static_serving(workdir):
                    "--conv_int8", "--int8_mode=static", "--static_gn"])
     out = workdir / "results_gaussianBN" / "latent_int8_gaussianBN"
     assert len(list((out / "images").glob("*.png"))) == 2
+
+def test_latent_cache_interval_serving(workdir):
+    """--cache_interval=2 on the latent IADB test path: feature-reuse chain
+    + VAE decode end to end; the DDIM baseline rejects the flag loudly."""
+    from bndm_tpu.cli.latent_iadb import main
+
+    common = [
+        "--dataset_name=tinycat", "--resolution=256", "--tiny_model",
+        "--output_dir=latent_cache", "--compute_dtype=float32",
+        "--noise_type=gaussianBN", "--out_channels=4",
+        "--ddpm_num_steps=100", "--ddpm_num_inference_steps=10",
+    ]
+    main(common + ["--train_or_test=train", "--train_batch_size=4",
+                   "--num_epochs=1", "--max_steps=2", "--lr_warmup_steps=0"])
+    main(common + ["--train_or_test=test", "--eval_batch_size=2",
+                   "--test_samples=2", "--cache_interval=2"])
+    out = workdir / "results_gaussianBN" / "latent_cache_gaussianBN"
+    assert len(list((out / "images").glob("*.png"))) == 2
+
+    from bndm_tpu.cli.ddim import main as ddim_main
+    with pytest.raises(SystemExit, match="cached variant"):
+        ddim_main(["--dataset_name=tinycat", "--resolution=64", "--tiny_model",
+                   "--output_dir=ddim_cache", "--train_or_test=test",
+                   "--cache_interval=2"])
