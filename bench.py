@@ -1,11 +1,31 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints JSON lines for the driver (last line wins).
 
 Primary metric (BASELINE.json): samples/sec/chip for IADB-BN sampling at the
 reference's benchmark config — AFHQ-Cat 64x64, 250 inference steps, batch 500,
 two-head BNDM UNet (113.7M params) — the whole 250-step reverse chain
 compiled as one lax.scan (reference path: iadb_bn.py test branch +
-scripts/sampling/cat_res64_test.sh). Also measures the blue-noise engine in
-Mpix/s (secondary, reported in "extra").
+scripts/sampling/cat_res64_test.sh).
+
+Capture-proofing (r4 — the r3 run was killed by the driver before printing
+its single JSON line, losing the round's headline): legs now run
+fastest-value-first (the calibrated serving tier and its cached/feature-reuse
+variant produce the headline) and a COMPLETE JSON line is re-printed after
+every finished leg, so a timeout at any point still leaves the best
+measurement so far on the last line. An internal wall-clock budget
+(``BENCH_BUDGET_S``, default 1500 s) skips remaining optional legs when
+exceeded.
+
+Fidelity gates are measured IN-RUN (not provenance strings): the serving
+tier stack (int8-static + static-GN + bf16-softmax) is gated against the
+bf16 parity path on the identical timed input, and the cached
+(feature-reuse) tier against the same serving model uncached. A failed gate
+drops the tier from the headline for this run — so the ladder stays honest
+when trained weights flow through.
+
+Env toggles: BENCH_INT8 / BENCH_GN / BENCH_ATTN / BENCH_CACHE / BENCH_MB /
+BENCH_TRAIN (=0 disables each tier/leg), BENCH_CACHE_INTERVAL (default 3),
+BENCH_CACHE_DEPTH (default 1), BENCH_MB_TOTAL (default 1000),
+BENCH_BUDGET_S (default 1500).
 
 vs_baseline: the reference commits NO numbers (BASELINE.md), so the baseline
 is an analytic RTX-4090 estimate on the same workload, documented here:
@@ -20,6 +40,32 @@ import os
 import time
 
 import numpy as np
+
+# full-scale defaults; BENCH_STEPS/BENCH_RES/BENCH_BATCH override for smoke
+# runs of the harness logic (e.g. on CPU) — the driver runs the defaults
+STEPS = int(os.environ.get("BENCH_STEPS", "250"))
+RES = int(os.environ.get("BENCH_RES", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "500"))
+# BENCH_TINY=1: 2-block toy UNet on 16x16 inputs — smoke-tests the full leg
+# sequence + gating + JSON emission hermetically (CPU, seconds)
+TINY = os.environ.get("BENCH_TINY", "0") == "1"
+SPATIAL = 16 if TINY else RES
+GAMMA = dict(scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0),
+             two_head=True)
+
+
+def _unet_cfg(out_channels=6, **kw):
+    from bndm_tpu.models.unet2d import UNet2DConfig, unet_config_for_res
+
+    if TINY:
+        return UNet2DConfig(
+            in_channels=3, out_channels=out_channels,
+            block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+            up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+            attention_head_dim=4, norm_num_groups=4, **kw)
+    return unet_config_for_res(RES, in_channels=3, out_channels=out_channels,
+                               **kw)
 
 
 def _setup_compile_cache():
@@ -44,258 +90,360 @@ def _fetch(x):
     return float(jnp.sum(x))
 
 
-def _bench_sampling(batch=500, steps=250, res=64):
+def _flops_per_image(params, x1img):
+    """FLOPs of one REFERENCE-equivalent UNet forward for the documented 4090
+    baseline estimate. Pinned to fast_upsample=False: the baseline is the
+    reference's torch workload (nearest-2x + full 3x3 convs), and our
+    FLOP-reducing rewrites must not inflate the estimated 4090 rate."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
-    from bndm_tpu.samplers.iadb import sample_iadb
+    from bndm_tpu.models.unet2d import UNet2D
 
-    # bf16 GroupNorm: +8% step time on v5e (flax computes the mean/var in
-    # fp32 internally, so statistics stay accurate)
-    cfg = unet_config_for_res(res, in_channels=3, out_channels=6, dtype="bfloat16",
-                              norm_dtype="bfloat16")
-    model = UNet2D(cfg)
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32), jnp.zeros((1,))
-    )
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
-
-    def run(params, x0):
-        out, _ = sample_iadb(
-            model.apply, params, x0,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
-        return out
-
-    # FLOPs of one REFERENCE-equivalent UNet forward for the documented 4090
-    # baseline estimate. Pinned to fast_upsample=False: the baseline is the
-    # reference's torch workload (nearest-2x + full 3x3 convs), and our
-    # FLOP-reducing rewrites must not inflate the estimated 4090 rate.
-    import dataclasses
-
-    ref_cfg = dataclasses.replace(cfg, fast_upsample=False)
-    ref_model = UNet2D(ref_cfg)
+    cfg = _unet_cfg(dtype="bfloat16", norm_dtype="bfloat16")
+    ref_model = UNet2D(dataclasses.replace(cfg, fast_upsample=False))
     fwd = jax.jit(lambda p, x: ref_model.apply(p, x, jnp.full((x.shape[0],), 0.5)))
     try:
-        cost = fwd.lower(params, x0[:1]).compile().cost_analysis()
-        flops_per_image = float(cost.get("flops", 0.0))
+        cost = fwd.lower(params, x1img).compile().cost_analysis()
+        return float(cost.get("flops", 0.0))
     except Exception:
-        flops_per_image = 0.0
-
-    _fetch(run(params, x0))  # compile + warmup
-    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
-    t0 = time.perf_counter()
-    _fetch(run(params, x1))  # fresh input defeats any relay-side result caching
-    dt = time.perf_counter() - t0
-    sps = batch / dt
-    return sps, dt, flops_per_image
+        return 0.0
 
 
-def _bench_sampling_int8(batch=500, steps=250, res=64, calib_batch=8):
-    """Static-scale W8A8 serving path (r2): calibrate once on a short exact
-    trajectory, then sample with constant activation scales. Validated
-    vs bf16 on identical x0 at SSIM 1.0 / PSNR 49 dB
-    (scripts/bench_int8_static.py); int8 sites chosen by profile — resnet
-    conv1/conv2 + upsamplers; shortcut/conv_in/downsample/conv_out stay fp.
-    Returns (sps, dt, model, params) for the follow-up serving legs."""
-    import jax
+def _fidelity(out, ref):
+    """Mean SSIM / PSNR between two sample batches in [-1, 1]."""
     import jax.numpy as jnp
 
-    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
-    from bndm_tpu.ops.int8 import calibrate_sampling
-    from bndm_tpu.samplers.iadb import sample_iadb
-
-    common = dict(in_channels=3, out_channels=6, dtype="bfloat16",
-                  norm_dtype="bfloat16")
-    m_cal = UNet2D(unet_config_for_res(res, **common, conv_int8=True,
-                                       int8_mode="calibrate"))
-    m_sta = UNet2D(unet_config_for_res(res, **common, conv_int8=True,
-                                       int8_mode="static"))
-    params = m_cal.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32), jnp.zeros((1,))
-    )
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
-    quant = calibrate_sampling(
-        m_cal, {"params": params["params"]}, x0[:calib_batch], steps,
-        scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0), two_head=True)
-    p_sta = {"params": params["params"], "quant": quant}
-
-    def run(p, x):
-        out, _ = sample_iadb(
-            m_sta.apply, p, x,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
-        return out
-
-    _fetch(run(p_sta, x0))
-    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
-    t0 = time.perf_counter()
-    _fetch(run(p_sta, x1))
-    dt = time.perf_counter() - t0
-    return batch / dt, dt, m_sta, p_sta
-
-
-def _bench_sampling_static_gn(batch=500, steps=250, res=64, calib_batch=8):
-    """int8-static + static-calibrated GroupNorm serving tier (r3): one joint
-    conv+GN calibration trajectory, then every GroupNorm collapses to a fused
-    FMA with per-(site, step) constants — attacks the GN/SiLU HBM wall that
-    is 47% of the exact-GN step. Gate-passed on v5e: 20.93 vs 18.38
-    samples/s = 1.139x, SSIM 0.9996 / PSNR 40.4 dB vs exact-GN int8-static
-    on identical x0 (scripts/bench_static_gn.py). Returns (sps, dt, model,
-    params) for the microbatched follow-up."""
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
-    from bndm_tpu.ops.int8 import calibrate_sampling
-    from bndm_tpu.samplers.iadb import sample_iadb
-
-    base = unet_config_for_res(res, in_channels=3, out_channels=6,
-                               dtype="bfloat16", norm_dtype="bfloat16",
-                               conv_int8=True)
-    m_cal = UNet2D(dataclasses.replace(base, int8_mode="calibrate",
-                                       gn_mode="calibrate", gn_steps=steps))
-    m_sta = UNet2D(dataclasses.replace(base, int8_mode="static",
-                                       gn_mode="static", gn_steps=steps))
-    params = m_cal.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res), jnp.float32),
-        jnp.zeros((1,)))
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
-    quant = calibrate_sampling(
-        m_cal, {"params": params["params"]}, x0[:calib_batch], steps,
-        scheduler_gamma="sigmoid", gamma_params=(1000.0, 0.0, 3.0), two_head=True)
-    p_sta = {"params": params["params"], "quant": quant}
-
-    def run(p, x):
-        out, _ = sample_iadb(
-            m_sta.apply, p, x,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
-        return out
-
-    _fetch(run(p_sta, x0))
-    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
-    t0 = time.perf_counter()
-    _fetch(run(p_sta, x1))
-    dt = time.perf_counter() - t0
-    return batch / dt, dt, m_sta, p_sta
-
-
-def _bench_resample(model, params, batch=500, steps=250, res=64):
-    """Time sample_iadb for an already-calibrated (model, params) pair — used
-    to measure config variants (e.g. the bf16-softmax relaxation) that share
-    the same quant tree. Returns (sps, dt)."""
-    import jax
-    import jax.numpy as jnp
-
-    from bndm_tpu.samplers.iadb import sample_iadb
-
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
-
-    def run(p, x):
-        out, _ = sample_iadb(
-            model.apply, p, x,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
-        return out
-
-    _fetch(run(params, x0))
-    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
-    t0 = time.perf_counter()
-    _fetch(run(params, x1))
-    dt = time.perf_counter() - t0
-    return batch / dt, dt
-
-
-def _bench_sampling_cached(model, params, cache_interval, steps=250, res=64,
-                           batch=500):
-    """Feature-reuse (block-caching) tier on an already-calibrated serving
-    (model, params) pair: every cache_interval-th step runs the full UNet,
-    the steps between recompute only the outer shell around the cached trunk
-    output (samplers.iadb.sample_iadb_cached, cf. DeepCache). Fidelity is
-    measured IN-RUN: SSIM/PSNR vs the same model's uncached output on the
-    identical timed input. Returns (sps, dt, ssim, psnr)."""
-    import jax
-    import jax.numpy as jnp
-
-    from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_cached
     from bndm_tpu.utils.metrics import psnr, ssim
 
-    def apply_full(p, x, t):
-        return model.apply(p, x, t, return_deep=True)
+    a = jnp.clip((ref + 1) / 2, 0, 1)
+    b = jnp.clip((out + 1) / 2, 0, 1)
+    return float(jnp.mean(ssim(b, a))), float(jnp.mean(psnr(b, a)))
 
-    def apply_shallow(p, x, t, deep):
-        return model.apply(p, x, t, deep_feature=deep)
 
-    def run(p, x):
-        return sample_iadb_cached(
-            apply_full, apply_shallow, p, x, nb_steps=steps,
-            cache_interval=cache_interval, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
+def _gate(ssim_v, psnr_v):
+    return ssim_v >= 0.99 and psnr_v >= 35.0
 
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
-    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
-    _fetch(run(params, x0))  # compile + warmup
+
+class Bench:
+    """Incremental headline state + capture-proof JSON emission."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+        self.sps = None
+        self.dt = None
+        self.mode = None
+        self.eff_bs = BATCH
+        self.step_execs = STEPS
+        self.flops_per_image = 0.0
+        self.extra = {}
+
+    def elapsed(self):
+        return time.perf_counter() - self.t0
+
+    def over_budget(self, label):
+        if self.elapsed() > self.budget:
+            print(f"budget exceeded ({self.elapsed():.0f}s > "
+                  f"{self.budget:.0f}s) — skipping {label}", flush=True)
+            return True
+        return False
+
+    def promote(self, sps, dt, mode, eff_bs=BATCH, step_execs=STEPS):
+        if self.sps is None or sps > self.sps:
+            self.sps, self.dt, self.mode = sps, dt, mode
+            self.eff_bs, self.step_execs = eff_bs, step_execs
+
+    def emit(self):
+        """Print ONE complete JSON line with the best headline so far."""
+        import jax
+
+        if self.flops_per_image > 0:
+            baseline_sps = 40e12 / (self.flops_per_image * STEPS)
+            vs_baseline = self.sps / baseline_sps
+        else:
+            baseline_sps = vs_baseline = None
+        print(json.dumps({
+            "metric": (f"samples/sec/chip (IADB-BN res{RES}, {STEPS} steps, "
+                       f"bs={self.eff_bs})"),
+            "value": round(self.sps, 3),
+            "unit": "samples/s/chip",
+            "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            "extra": {
+                "mode": self.mode,
+                "sample_batch_seconds": round(self.dt, 3),
+                "per_unet_step_ms": round(self.dt / self.step_execs * 1e3, 3),
+                "unet_fwd_gflops_per_image": round(self.flops_per_image / 1e9, 2),
+                "baseline_rtx4090_est_sps":
+                    round(baseline_sps, 3) if baseline_sps else None,
+                "bench_elapsed_s": round(self.elapsed(), 1),
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                **self.extra,
+            },
+        }), flush=True)
+
+
+def _timed_run(run, params, x0, x1, total):
+    """Warm on x0, time on a fresh x1 (defeats relay-side result caching).
+    Returns (sps, dt, out_on_x1)."""
+    _fetch(run(params, x0))
     t0 = time.perf_counter()
     out = run(params, x1)
     _fetch(out)
     dt = time.perf_counter() - t0
-    ref, _ = sample_iadb(  # uncached reference on the identical input
-        model.apply, params, x1, nb_steps=steps, scheduler_gamma="sigmoid",
-        gamma_params=(1000.0, 0.0, 3.0), two_head=True)
-    a = jnp.clip((ref + 1) / 2, 0, 1)
-    b = jnp.clip((out + 1) / 2, 0, 1)
-    return (batch / dt, dt, float(jnp.mean(ssim(b, a))),
-            float(jnp.mean(psnr(b, a))))
+    return total / dt, dt, out
 
 
-def _bench_sampling_microbatched(model, params, total=1000, microbatch=500,
-                                 steps=250, res=64, cache_interval=None):
-    """Gallery serving at effective batch `total` via the microbatched scan
-    (one compiled program, bs=500 activation watermark — r2's bs=1000
-    full-batch attempt OOM'd the v5e worker). With ``cache_interval`` each
-    microbatch's chain is the feature-reuse chain. Returns (sps, dt)."""
+def main():  # noqa: C901 — linear leg sequence, clearer flat
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.samplers.iadb import sample_iadb_microbatched
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.ops.int8 import calibrate_sampling
+    from bndm_tpu.samplers.iadb import (
+        sample_iadb, sample_iadb_cached, sample_iadb_microbatched)
 
-    caching = cache_interval is not None and cache_interval > 1
+    _setup_compile_cache()
+    B = Bench()
 
-    def apply_full(p, x, t):
-        return model.apply(p, x, t, return_deep=True)
+    use_int8 = os.environ.get("BENCH_INT8", "1") != "0"
+    use_gn = os.environ.get("BENCH_GN", "1") != "0"
+    use_attn = os.environ.get("BENCH_ATTN", "1") != "0"
+    use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
+    use_mb = os.environ.get("BENCH_MB", "1") != "0"
+    use_train = os.environ.get("BENCH_TRAIN", "1") != "0"
+    cache_iv = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
+    cache_depth = int(os.environ.get("BENCH_CACHE_DEPTH", "1"))
+    mb_total = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
 
-    def apply_shallow(p, x, t, deep):
-        return model.apply(p, x, t, deep_feature=deep)
+    # shared params + inputs (bf16 GroupNorm: flax keeps mean/var in fp32)
+    cfg_bf16 = _unet_cfg(dtype="bfloat16", norm_dtype="bfloat16")
+    m_bf16 = UNet2D(cfg_bf16)
+    params = m_bf16.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, SPATIAL, SPATIAL), jnp.float32),
+        jnp.zeros((1,)))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 3, SPATIAL, SPATIAL),
+                           jnp.float32)
+    x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
+    B.flops_per_image = _flops_per_image(params, x0[:1])
 
-    def run(key):
-        # x0 generated fresh per call (the sample buffer is donated)
-        x0 = jax.random.normal(key, (total, 3, res, res), jnp.float32)
-        return sample_iadb_microbatched(
-            apply_full if caching else model.apply, params, x0,
-            microbatch=microbatch,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-            apply_shallow_fn=apply_shallow if caching else None,
-            cache_interval=cache_interval if caching else None,
-        )
+    def run_plain(model):
+        def run(p, x):
+            out, _ = sample_iadb(model.apply, p, x, nb_steps=STEPS, **GAMMA)
+            return out
+        return run
 
-    _fetch(run(jax.random.PRNGKey(3)))  # compile + warmup
-    t0 = time.perf_counter()
-    _fetch(run(jax.random.PRNGKey(4)))
-    dt = time.perf_counter() - t0
-    return total / dt, dt
+    # ---- Leg A: the calibrated serving tier (fastest uncached config) ----
+    # int8-static + static-GN + bf16-softmax, each toggleable; when all are
+    # off this leg IS the bf16 parity path and leg C is skipped.
+    serving_on = use_int8 or use_gn or use_attn
+    m_serve, p_serve, out_serve = m_bf16, {"params": params["params"]}, None
+    tier_names = []
+    if serving_on:
+        try:
+            base = cfg_bf16
+            cal_kw, sta_kw = {}, {}
+            if use_int8:
+                cal_kw.update(conv_int8=True, int8_mode="calibrate")
+                sta_kw.update(conv_int8=True, int8_mode="static")
+                tier_names.append("int8-static")
+            if use_gn:
+                cal_kw.update(gn_mode="calibrate", gn_steps=STEPS)
+                sta_kw.update(gn_mode="static", gn_steps=STEPS)
+                tier_names.append("static-GN")
+            if use_attn:
+                # calibration stays on the exact fp32-softmax path
+                sta_kw.update(attn_softmax_dtype="bfloat16")
+                tier_names.append("bf16-softmax")
+            m_serve = UNet2D(dataclasses.replace(base, **sta_kw))
+            if cal_kw:
+                m_cal = UNet2D(dataclasses.replace(base, **cal_kw))
+                quant = calibrate_sampling(
+                    m_cal, {"params": params["params"]}, x0[:8], STEPS, **GAMMA)
+                p_serve = {"params": params["params"], "quant": quant}
+            sps_s, dt_s, out_serve = _timed_run(
+                run_plain(m_serve), p_serve, x0, x1, BATCH)
+            mode_serve = " + ".join(tier_names) + " serving"
+            B.promote(sps_s, dt_s, mode_serve)
+            B.extra["serving_sps"] = round(sps_s, 3)
+            B.extra["serving_tiers"] = tier_names
+            B.emit()
+        except Exception as e:  # noqa: BLE001 — never lose the artifact
+            print(f"serving leg failed ({e}); falling back to bf16", flush=True)
+            serving_on = False
+            m_serve, p_serve, out_serve = m_bf16, {"params": params["params"]}, None
+    if not serving_on:  # pure bf16 measurement mode (all tiers off/failed)
+        try:
+            sps_b, dt_b, out_serve = _timed_run(
+                run_plain(m_bf16), p_serve, x0, x1, BATCH)
+            B.promote(sps_b, dt_b, "bf16")
+            B.extra["bf16_sps"] = round(sps_b, 3)
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"bf16 leg failed ({e})", flush=True)
+
+    # ---- Leg B: feature-reuse (block-caching / DeepCache) on leg A ----
+    # In-run gate: SSIM>=0.99 / PSNR>=35 dB vs the SAME model uncached on the
+    # identical timed input; a failed gate drops the tier for this run.
+    cached_headline = False
+    if use_cache and B.sps is not None and not B.over_budget("cached leg"):
+        try:
+            m_c = (m_serve if cache_depth == cfg_bf16.cache_depth else
+                   UNet2D(dataclasses.replace(m_serve.cfg,
+                                              cache_depth=cache_depth)))
+
+            def apply_full(p, x, t):
+                return m_c.apply(p, x, t, return_deep=True)
+
+            def apply_shallow(p, x, t, deep):
+                return m_c.apply(p, x, t, deep_feature=deep)
+
+            def run_c(p, x):
+                return sample_iadb_cached(
+                    apply_full, apply_shallow, p, x, nb_steps=STEPS,
+                    cache_interval=cache_iv, **GAMMA)
+
+            sps_c, dt_c, out_c = _timed_run(run_c, p_serve, x0, x1, BATCH)
+            if out_serve is None:  # serving legs off: uncached ref = bf16
+                _, _, out_serve = _timed_run(
+                    run_plain(m_serve), p_serve, x0, x1, BATCH)
+            ssim_c, psnr_c = _fidelity(out_c, out_serve)
+            gate = _gate(ssim_c, psnr_c)
+            print(f"cached(i={cache_iv},d={cache_depth}): {sps_c:.2f} "
+                  f"samples/s, SSIM {ssim_c:.4f} PSNR {psnr_c:.1f} dB "
+                  f"gate={'pass' if gate else 'FAIL'}", flush=True)
+            B.extra["cached_sps"] = round(sps_c, 3)
+            B.extra["cached_fidelity"] = {
+                "ssim": round(ssim_c, 4), "psnr_db": round(psnr_c, 2),
+                "vs": "same serving model uncached, identical input",
+                "gate": "pass" if gate else "fail"}
+            if gate:
+                # ADVICE r3: record the interval whenever the gate passes,
+                # not only when the tier wins the headline
+                B.extra["cached_interval"] = cache_iv
+                B.extra["cached_depth"] = cache_depth
+                if sps_c > B.sps:
+                    cached_headline = True
+                    B.promote(sps_c, dt_c,
+                              B.mode + f" + cached(i={cache_iv})"
+                              if B.mode else f"cached(i={cache_iv})")
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"cached leg failed ({e})", flush=True)
+
+    # ---- Leg C: bf16 parity path + in-run gate for the serving stack ----
+    sps_bf16 = None
+    if serving_on and not B.over_budget("bf16 parity leg"):
+        try:
+            sps_bf16, dt_b, out_b = _timed_run(
+                run_plain(m_bf16), {"params": params["params"]}, x0, x1, BATCH)
+            B.extra["bf16_sps"] = round(sps_bf16, 3)
+            if out_serve is not None:
+                ssim_s, psnr_s = _fidelity(out_serve, out_b)
+                gate_s = _gate(ssim_s, psnr_s)
+                print(f"serving stack vs bf16: SSIM {ssim_s:.4f} PSNR "
+                      f"{psnr_s:.1f} dB gate={'pass' if gate_s else 'FAIL'}",
+                      flush=True)
+                B.extra["serving_fidelity"] = {
+                    "ssim": round(ssim_s, 4), "psnr_db": round(psnr_s, 2),
+                    "vs": "bf16 parity path, identical input",
+                    "gate": "pass" if gate_s else "fail"}
+                if not gate_s:
+                    # drop every tier built on the serving stack — including
+                    # the cached tier, whose own gate compared against the
+                    # now-invalid serving output
+                    print("serving gate FAILED — headline reverts to bf16",
+                          flush=True)
+                    B.sps = None
+                    B.promote(sps_bf16, dt_b, "bf16")
+                    m_serve = m_bf16
+                    p_serve = {"params": params["params"]}
+                    cached_headline = False
+                    B.extra.pop("cached_interval", None)
+                    B.extra.pop("cached_depth", None)
+                    if "cached_fidelity" in B.extra:
+                        B.extra["cached_fidelity"]["gate"] = \
+                            "fail (serving stack gate failed)"
+            else:
+                B.promote(sps_bf16, dt_b, "bf16")
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"bf16 leg failed ({e})", flush=True)
+
+    # ---- Leg D: microbatched gallery serving at effective bs=mb_total ----
+    # (scan over mb=500 chains, donated in-place buffer — full-batch bs=1000
+    # OOMs the v5e worker). Runs the fastest gate-passing configuration.
+    if (use_mb and B.sps is not None and mb_total > BATCH
+            and not B.over_budget("microbatched leg")):
+        try:
+            iv = cache_iv if cached_headline else None
+            m_c = m_serve
+            if cached_headline and cache_depth != cfg_bf16.cache_depth:
+                m_c = UNet2D(dataclasses.replace(m_serve.cfg,
+                                                 cache_depth=cache_depth))
+
+            def apply_full(p, x, t):
+                return m_c.apply(p, x, t, return_deep=True)
+
+            def apply_shallow(p, x, t, deep):
+                return m_c.apply(p, x, t, deep_feature=deep)
+
+            def run_mb(key):
+                # x0 generated fresh per call (the sample buffer is donated)
+                xb = jax.random.normal(key, (mb_total, 3, SPATIAL, SPATIAL),
+                                       jnp.float32)
+                return sample_iadb_microbatched(
+                    apply_full if iv else m_c.apply, p_serve, xb,
+                    microbatch=BATCH, nb_steps=STEPS, **GAMMA,
+                    apply_shallow_fn=apply_shallow if iv else None,
+                    cache_interval=iv)
+
+            _fetch(run_mb(jax.random.PRNGKey(3)))
+            t0 = time.perf_counter()
+            _fetch(run_mb(jax.random.PRNGKey(4)))
+            dt_mb = time.perf_counter() - t0
+            sps_mb = mb_total / dt_mb
+            B.extra["microbatched_sps"] = round(sps_mb, 3)
+            B.extra["microbatched_effective_batch"] = mb_total
+            if sps_mb > B.sps:
+                B.promote(sps_mb, dt_mb,
+                          B.mode + f" microbatched (eff. bs={mb_total})",
+                          eff_bs=mb_total,
+                          step_execs=STEPS * (mb_total // BATCH))
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"microbatched leg failed ({e})", flush=True)
+
+    # ---- Leg E: blue-noise engine (secondary metric) ----
+    if not B.over_budget("noise leg"):
+        try:
+            mpix_s, noise_dt = _bench_noise()
+            B.extra["bluenoise_mpix_per_s"] = round(mpix_s, 1)
+            B.extra["bluenoise_batch_ms"] = round(noise_dt * 1e3, 3)
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"noise leg failed ({e})", flush=True)
+
+    # ---- Leg F: train throughput ----
+    if use_train and not B.over_budget("train leg"):
+        try:
+            train_sps, _ = _bench_train()
+            B.extra["train_imgs_per_sec"] = round(train_sps, 2)
+            B.emit()
+        except Exception as e:  # noqa: BLE001
+            print(f"train leg failed ({e})", flush=True)
+
+    if B.sps is None:  # every sampling leg failed: still print a line
+        B.promote(float("nan"), float("nan"), "ALL SAMPLING LEGS FAILED")
+        B.emit()
 
 
-def _bench_noise(batch=500, res=64, inner=10):
+def _bench_noise(batch=BATCH, res=RES, inner=10):
     """Amortized in-jit throughput: in real use the noise engine runs inside
     the (jitted) train/sample step, so per-dispatch overhead is excluded by
     chaining ``inner`` generations in one compiled scan."""
@@ -331,22 +479,36 @@ def _bench_noise(batch=500, res=64, inner=10):
     return mpix_s, dt
 
 
-def _bench_train(batch=64, res=64, inner=5):
-    """BNDM train-step throughput, imgs/sec/chip (BENCH_TRAIN=0 skips)."""
+def _bench_train(batch=None, res=64, inner=5, engine=None):
+    """BNDM train-step throughput, imgs/sec/chip (BENCH_TRAIN=0 skips).
+
+    The noise engine needs a paper resolution (the L matrix is 64^2), so the
+    tiny smoke keeps res=64 with a small batch. BENCH_TRAIN_NOISE=fused (or
+    engine="fused") measures the Pallas fused RNG->matmul->mix engine
+    instead of the XLA one (scripts/bench_fused_noise_train.py compares).
+    """
     import jax
     import jax.numpy as jnp
 
     from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
     from bndm_tpu.train.pixel import PixelTrainer, TrainConfig
 
+    if batch is None:
+        batch = 4 if TINY else 64
+    if engine is None:
+        engine = os.environ.get("BENCH_TRAIN_NOISE", "xla")
     rng = np.random.default_rng(7)
     L = np.tril(rng.standard_normal((4096, 4096)).astype(np.float32) * 0.01)
     np.fill_diagonal(L, 1.0)
     cfg = TrainConfig(noise_type="gaussianBN", scheduler_gamma="sigmoid",
                       gamma_defaults=(1000.0, 0.0, 3.0), out_channel=6,
-                      optimize_scheduler_param=True, grad_clip=1.0)
-    model = UNet2D(unet_config_for_res(res, 3, 6, dtype="bfloat16",
-                                       norm_dtype="bfloat16"))
+                      optimize_scheduler_param=True, grad_clip=1.0,
+                      noise_engine=engine)
+    if TINY:
+        model = UNet2D(_unet_cfg(dtype="bfloat16", norm_dtype="bfloat16"))
+    else:
+        model = UNet2D(unet_config_for_res(res, 3, 6, dtype="bfloat16",
+                                           norm_dtype="bfloat16"))
     tr = PixelTrainer(model, cfg, L, jax.random.PRNGKey(0))
     batch01 = jax.random.uniform(jax.random.PRNGKey(1), (batch, 3, res, res))
     state = tr.state
@@ -358,174 +520,6 @@ def _bench_train(batch=64, res=64, inner=5):
     _fetch(m["loss"])
     dt = (time.perf_counter() - t0) / inner
     return batch / dt, dt
-
-
-def main():
-    import jax
-
-    _setup_compile_cache()
-    sps_bf16, sample_dt_bf16, flops_per_image = _bench_sampling()
-    # int8-static serving path (r2): headline when it wins, since it is the
-    # validated production-serving configuration (SSIM 1.0 / PSNR 49 dB vs
-    # bf16 on identical x0 — scripts/bench_int8_static.py); BENCH_INT8=0
-    # skips (e.g. to measure the pure bf16 parity path)
-    sps_int8 = None
-    m_sta = p_sta = None
-    if os.environ.get("BENCH_INT8", "1") != "0":
-        try:
-            sps_int8, sample_dt_int8, m_sta, p_sta = _bench_sampling_int8()
-        except Exception as e:  # noqa: BLE001 — never lose the round artifact
-            print(f"int8 bench failed ({e}); reporting bf16", flush=True)
-    if sps_int8 is not None and sps_int8 > sps_bf16:
-        sps, sample_dt, mode = sps_int8, sample_dt_int8, "int8-static serving"
-    else:
-        sps, sample_dt, mode = sps_bf16, sample_dt_bf16, "bf16"
-    # static-GN serving tier (r3, gate-passed: SSIM 0.9996 / PSNR 40.4 dB vs
-    # exact-GN on identical x0 — scripts/bench_static_gn.py); BENCH_GN=0
-    # drops back to the exact-GN serving path
-    sps_gn = None
-    if (sps_int8 is not None and os.environ.get("BENCH_GN", "1") != "0"
-            and os.environ.get("BENCH_INT8", "1") != "0"):
-        try:
-            sps_gn, sample_dt_gn, m_gn, p_gn = _bench_sampling_static_gn()
-            if sps_gn > sps:
-                sps, sample_dt = sps_gn, sample_dt_gn
-                mode = "int8-static + static-GN serving"
-                m_sta, p_sta = m_gn, p_gn  # microbatch the fastest tier
-        except Exception as e:  # noqa: BLE001
-            print(f"static-GN bench failed ({e})", flush=True)
-    # bf16 attention softmax on the fastest calibrated tier (r3, gate-passed:
-    # 21.68 vs 20.93 samples/s = 1.036x at SSIM 0.9996 / PSNR 40.4 dB vs
-    # exact-GN — the relaxation adds no measurable error on top of static-GN;
-    # scripts/bench_static_gn.py ATTN_BF16 leg); BENCH_ATTN=0 skips
-    sps_attn = None
-    if (m_sta is not None and "serving" in mode
-            and os.environ.get("BENCH_ATTN", "1") != "0"):
-        try:
-            import dataclasses
-
-            from bndm_tpu.models.unet2d import UNet2D
-
-            m_attn = UNet2D(dataclasses.replace(
-                m_sta.cfg, attn_softmax_dtype="bfloat16"))
-            sps_attn, sample_dt_attn = _bench_resample(m_attn, p_sta)
-            if sps_attn > sps:
-                sps, sample_dt = sps_attn, sample_dt_attn
-                mode += " + bf16-softmax"
-                m_sta = m_attn  # microbatch the fastest tier
-        except Exception as e:  # noqa: BLE001
-            print(f"attn-bf16 bench failed ({e})", flush=True)
-    # feature-reuse (block-caching) tier on the fastest calibrated serving
-    # configuration (r3, cf. DeepCache): every BENCH_CACHE_INTERVAL-th step
-    # (default 3) runs the full UNet, the steps between recompute only the
-    # full-resolution shell around the cached trunk output. Unlike the other
-    # tiers the fidelity gate runs IN-RUN (SSIM>=0.99 / PSNR>=35 dB vs the
-    # same model uncached on the identical timed input) — a failed gate drops
-    # the tier for this run. Measured r3: interval=3 -> 32.28 vs 21.86
-    # samples/s = 1.477x at SSIM 1.000 / PSNR 59.7 dB
-    # (scripts/bench_deepcache.py). BENCH_CACHE=0 skips.
-    sps_cache = None
-    cache_fid = None
-    cache_interval = None
-    if (m_sta is not None and "serving" in mode
-            and os.environ.get("BENCH_CACHE", "1") != "0"):
-        try:
-            iv = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
-            sps_c, dt_c, ssim_c, psnr_c = _bench_sampling_cached(
-                m_sta, p_sta, iv)
-            cache_fid = {"ssim": round(ssim_c, 4), "psnr_db": round(psnr_c, 2)}
-            gate = ssim_c >= 0.99 and psnr_c >= 35.0
-            print(f"cached(i={iv}): {sps_c:.2f} samples/s, SSIM {ssim_c:.4f} "
-                  f"PSNR {psnr_c:.1f} dB gate={'pass' if gate else 'FAIL'}",
-                  flush=True)
-            if gate:
-                sps_cache = sps_c
-                if sps_c > sps:
-                    sps, sample_dt = sps_c, dt_c
-                    mode += f" + cached(i={iv})"
-                    cache_interval = iv  # microbatch the cached tier
-        except Exception as e:  # noqa: BLE001
-            print(f"cached bench failed ({e})", flush=True)
-    # gallery serving at effective batch 1000 (microbatched scan) on the
-    # fastest serving configuration; BENCH_MB=0 skips
-    sps_mb = None
-    mb_batch = None
-    # guarded on a *winning* serving tier like the attn leg: when bf16 beat
-    # int8, m_sta still holds the int8 model and a microbatched measurement
-    # of it must not be labeled "bf16 microbatched"
-    if (m_sta is not None and "serving" in mode
-            and os.environ.get("BENCH_MB", "1") != "0"):
-        try:
-            mb_batch = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
-            sps_mb, sample_dt_mb = _bench_sampling_microbatched(
-                m_sta, p_sta, total=mb_batch, cache_interval=cache_interval)
-            if sps_mb > sps:
-                sps, sample_dt = sps_mb, sample_dt_mb
-                mode += f" microbatched (eff. bs={mb_batch})"
-        except Exception as e:  # noqa: BLE001
-            print(f"microbatched bench failed ({e})", flush=True)
-    mpix_s, noise_dt = _bench_noise()
-    # train throughput is on by default so the round artifact records it
-    # (the persistent compile cache keeps reruns cheap); BENCH_TRAIN=0 skips
-    train_sps = None
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        train_sps, _ = _bench_train()
-
-    # documented analytic 4090 baseline (see module docstring)
-    eff_4090_flops = 40e12
-    steps = 250
-    if flops_per_image > 0:
-        baseline_sps = eff_4090_flops / (flops_per_image * steps)
-        vs_baseline = sps / baseline_sps
-    else:
-        baseline_sps = float("nan")
-        vs_baseline = float("nan")
-
-    eff_bs = mb_batch if "microbatched" in mode else 500
-    # the microbatched run executes (total/500) sequential bs-500 chains, so
-    # per-step time must divide by the true number of UNet step executions
-    step_execs = steps * (mb_batch // 500 if "microbatched" in mode else 1)
-    print(json.dumps({
-        "metric": f"samples/sec/chip (IADB-BN res64, 250 steps, bs={eff_bs})",
-        "value": round(sps, 3),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
-        "extra": {
-            "mode": mode,
-            "bf16_sps": round(sps_bf16, 3),
-            "int8_static_sps": round(sps_int8, 3) if sps_int8 else None,
-            "static_gn_sps": round(sps_gn, 3) if sps_gn else None,
-            # provenance ref, not measured in-run (scripts/bench_static_gn.py)
-            "static_gn_fidelity_ref": ("SSIM 0.9996 / PSNR 40.4 dB vs "
-                                       "exact-GN on identical x0 (r3, v5e)"
-                                       if sps_gn else None),
-            "attn_bf16_sps": round(sps_attn, 3) if sps_attn else None,
-            # provenance ref (scripts/bench_static_gn.py ATTN_BF16 leg)
-            "attn_bf16_fidelity_ref": ("SSIM 0.9996 / PSNR 40.4 dB vs "
-                                       "exact-GN on identical x0 — no "
-                                       "measurable error added (r3, v5e)"
-                                       if sps_attn else None),
-            "cached_sps": round(sps_cache, 3) if sps_cache else None,
-            "cached_interval": cache_interval,
-            # measured IN-RUN vs the same model uncached on the timed input
-            "cached_fidelity": cache_fid,
-            "microbatched_sps": round(sps_mb, 3) if sps_mb else None,
-            "microbatched_effective_batch": mb_batch if sps_mb else None,
-            # provenance reference, NOT measured in this run — the fidelity
-            # gate lives in scripts/bench_int8_static.py (r2, v5e)
-            "int8_fidelity_ref": "SSIM 1.0 / PSNR 49.2 dB on identical x0 "
-                                 "(scripts/bench_int8_static.py, r2, v5e)",
-            "sample_batch_seconds": round(sample_dt, 3),
-            "per_unet_step_ms": round(sample_dt / step_execs * 1e3, 3),
-            "unet_fwd_gflops_per_image": round(flops_per_image / 1e9, 2),
-            "baseline_rtx4090_est_sps": round(baseline_sps, 3) if np.isfinite(baseline_sps) else None,
-            "bluenoise_mpix_per_s": round(mpix_s, 1),
-            "bluenoise_batch_ms": round(noise_dt * 1e3, 3),
-            "train_imgs_per_sec": round(train_sps, 2) if train_sps else None,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
-    }))
 
 
 if __name__ == "__main__":

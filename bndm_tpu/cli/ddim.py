@@ -167,7 +167,8 @@ def run_test(args):
     from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid, serving_relax_kw
     from bndm_tpu.models.unet2d import UNet2D
     from bndm_tpu.parallel.mesh import auto_mesh, replicate, shard_batch
-    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim
+    from bndm_tpu.samplers.ddim import (DDIMScheduler, sample_ddim,
+                                        sample_ddim_cached)
 
     out_dir = out_dir_for(args)
     for sub in ("images", "seqs"):
@@ -204,6 +205,11 @@ def run_test(args):
     # timesteps carry no index (ops/static_norm.py)
     from bndm_tpu.serving import serving_model_pair
 
+    if args.cache_interval and args.cache_depth != 1:
+        import dataclasses
+
+        model = UNet2D(dataclasses.replace(model.cfg,
+                                           cache_depth=args.cache_depth))
     m_cal, model = serving_model_pair(
         model.cfg, int8_static=args.conv_int8 and args.int8_mode == "static",
         static_gn=args.static_gn, gn_steps=args.ddpm_num_inference_steps,
@@ -255,6 +261,24 @@ def run_test(args):
             x0 = shard_batch(mesh, x0)
 
         def _run():
+            if args.cache_interval:
+                # feature-reuse serving tier (samplers/ddim.py
+                # sample_ddim_cached): serving-only, seqs/ frames skipped
+                def apply_full(p, x, t, step_idx=None):
+                    return model.apply(p, x, t, step_idx=step_idx,
+                                       return_deep=True)
+
+                def apply_shallow(p, x, t, deep, step_idx=None):
+                    return model.apply(p, x, t, step_idx=step_idx,
+                                       deep_feature=deep)
+
+                o = sample_ddim_cached(
+                    apply_full, apply_shallow, params, x0,
+                    scheduler=scheduler,
+                    num_inference_steps=args.ddpm_num_inference_steps,
+                    cache_interval=args.cache_interval,
+                    pass_step_idx=bool(args.static_gn))
+                return jax.block_until_ready(o), None
             o, f = sample_ddim(model.apply, params, x0, scheduler=scheduler,
                                num_inference_steps=args.ddpm_num_inference_steps,
                                collect_frames=True,
@@ -272,9 +296,10 @@ def run_test(args):
         times.append(time.time() - t0)
         save_image_grid(np.asarray(out),
                         os.path.join(out_dir, "images", f"ddim_img{cnt:05d}_{{0}}.png"))
-        for j, fr in enumerate(np.asarray(frames)):
-            save_image_grid(fr, os.path.join(out_dir, "seqs",
-                                             f"ddim_img{cnt:05d}_step{j * 25}_{{0}}.png"))
+        if frames is not None:
+            for j, fr in enumerate(np.asarray(frames)):
+                save_image_grid(fr, os.path.join(out_dir, "seqs",
+                                                 f"ddim_img{cnt:05d}_step{j * 25}_{{0}}.png"))
         cnt += x0.shape[0]
         print(f"batch {i}: {x0.shape[0]} samples in {times[-1]:.2f}s")
     return out_dir
@@ -284,10 +309,6 @@ def main(argv=None):
     from bndm_tpu.cli.hf_args import parse_args
 
     args = parse_args(argv)
-    if args.cache_interval and args.cache_interval > 1:
-        raise SystemExit("--cache_interval is not supported by the DDIM "
-                         "baseline (sample_ddim has no cached variant); use "
-                         "the latent/pixel IADB CLIs")
     if args.coordinator_address or (args.num_processes or 0) > 1:
         from bndm_tpu.parallel.distributed import init_distributed
 

@@ -11,6 +11,18 @@ from __future__ import annotations
 import argparse
 
 
+def cache_interval_type(value):
+    """argparse type for --cache_interval: caching needs >= 2 (1 is the
+    plain sampler, 0/negative are meaningless) — reject instead of silently
+    sampling uncached (r3 advisor finding)."""
+    iv = int(value)
+    if iv < 2:
+        raise argparse.ArgumentTypeError(
+            f"--cache_interval must be >= 2 (got {iv}); omit the flag for "
+            "uncached sampling")
+    return iv
+
+
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_name", type=str, default=None)
@@ -101,15 +113,15 @@ def build_parser():
                         "parity; bfloat16 removes the fp32 logit-upcast "
                         "fusions, ~3%% of the serving step — fidelity-gated "
                         "in scripts/bench_static_gn.py)")
-    p.add_argument("--cache_interval", type=int, default=None,
-                   help="serving (latent IADB test only): feature-reuse "
-                        "(block-caching) tier, cf. DeepCache "
-                        "(arXiv:2312.03209) — every Nth step runs the full "
-                        "UNet, the steps between recompute only the outer "
-                        "--cache_depth shell around the cached trunk output "
-                        "(fidelity-gated in scripts/bench_deepcache.py). "
-                        "The DDIM baseline rejects it (its sampler has no "
-                        "cached variant)")
+    p.add_argument("--cache_interval", type=cache_interval_type, default=None,
+                   help="serving (test only): feature-reuse (block-caching) "
+                        "tier, cf. DeepCache (arXiv:2312.03209) — every Nth "
+                        "step runs the full UNet, the steps between "
+                        "recompute only the outer --cache_depth shell "
+                        "around the cached trunk output (fidelity-gated in "
+                        "scripts/bench_deepcache.py). Latent IADB + DDIM "
+                        "(sample_ddim_cached); DDIM skips seqs/ frames in "
+                        "this mode")
     p.add_argument("--cache_depth", type=int, default=1,
                    help="with --cache_interval: outer down/up blocks a "
                         "cached step recomputes")

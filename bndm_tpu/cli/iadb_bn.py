@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+from bndm_tpu.cli.hf_args import cache_interval_type
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
@@ -117,7 +119,7 @@ def parse_args(argv=None):
                         "(holds only one microbatch's UNet activations — "
                         "breaks the bs=500 HBM ceiling for 30k-sample runs; "
                         "seqs/ frames are skipped in this mode)")
-    p.add_argument("--cache_interval", type=int, default=None,
+    p.add_argument("--cache_interval", type=cache_interval_type, default=None,
                    help="serving: feature-reuse (block-caching) tier, cf. "
                         "DeepCache (arXiv:2312.03209) — every Nth step runs "
                         "the full UNet, the steps between recompute only the "
@@ -508,7 +510,9 @@ def run_superres_test(opt):
     import jax
     import jax.numpy as jnp
 
-    from bndm_tpu.cli.common import load_pixel_unet_params, noise_folder_name, save_image_grid
+    from bndm_tpu.cli.common import (load_pixel_unet_params,
+                                     noise_folder_name, save_image_grid,
+                                     serving_relax_kw)
     from bndm_tpu.data.imagefolder import ImageFolderDataset
     from bndm_tpu.ops.noise import get_noise
     from bndm_tpu.ops.schedules import gamma_schedule
@@ -536,6 +540,35 @@ def run_superres_test(opt):
     indices = [i for i in wanted if i < len(ds)] or list(range(min(len(ds), 4)))
 
     key = jax.random.PRNGKey(opt.seed)
+
+    # serving tiers (r4): the conditional path supports int8-static /
+    # static-GN too — calibrate_sampling threads the concat([x, x_c], 1)
+    # conditioning through the calibration trajectory (ops/int8.py)
+    if opt.static_gn and opt.scheduler_alpha != "linear":
+        raise SystemExit("--static_gn requires the linear alpha schedule")
+    from bndm_tpu.serving import serving_model_pair
+
+    m_cal, model = serving_model_pair(
+        model.cfg, int8_static=opt.conv_int8 and opt.int8_mode == "static",
+        static_gn=opt.static_gn, gn_steps=opt.nb_steps,
+        relax_kw=serving_relax_kw(opt))
+    if m_cal is not None:
+        from bndm_tpu.ops.int8 import calibrate_sampling
+
+        ckey = jax.random.fold_in(jax.random.PRNGKey(opt.seed), 777)
+        cb = min(8, len(indices))
+        x1_cal = jnp.stack([jnp.asarray(ds.get(i)) for i in indices[:cb]]) * 2.0 - 1.0
+        x_c_cal = superres_condition(x1_cal, downscale=4)
+        x_cal = jax.random.normal(ckey, x1_cal.shape, jnp.float32)
+        t0 = time.time()
+        quant = calibrate_sampling(
+            m_cal, params, x_cal, opt.nb_steps,
+            scheduler_alpha=opt.scheduler_alpha, alpha_param=opt.scheduler_param,
+            scheduler_gamma=opt.scheduler_gamma, gamma_params=jnp.asarray(sp),
+            two_head=tcfg.two_head, x_c=x_c_cal)
+        params = {"params": params.get("params", params), "quant": quant}
+        print(f"serving calibration: {time.time()-t0:.1f}s "
+              f"({len(jax.tree_util.tree_leaves(quant))} calibrated sites)")
     agg = {"ssim": 0.0, "psnr": 0.0, "l2": 0.0, "l1": 0.0}
     for n_done, i in enumerate(indices):
         x1 = jnp.asarray(ds.get(i))[None] * 2.0 - 1.0

@@ -111,7 +111,8 @@ def int8_conv_static(x, w, act_scale, strides=(1, 1), padding=((1, 1), (1, 1))):
 
 def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
                        alpha_param=0.02, scheduler_gamma="linear",
-                       gamma_params=(1.0, 0.0, 3.0), two_head=False, quant=None):
+                       gamma_params=(1.0, 0.0, 3.0), two_head=False, quant=None,
+                       x_c=None):
     """Populate the static-int8 activation scales by running one exact
     (fp32-conv) reverse IADB trajectory and recording each conv site's
     running activation amax.
@@ -121,6 +122,11 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
     (a pytree of scalars) as carry — one dispatch, small batch, seconds.
     Returns the populated 'quant' tree to pass alongside 'params' to the
     ``int8_mode='static'`` model.
+
+    ``x_c``: conditional path (super-res) — the calibration trajectory sees
+    ``concat([x, x_c], 1)`` exactly like ``sample_iadb(x_c=...)``
+    (reference iadb_bn.py:406); pass the same small-batch conditioning the
+    serving batches will use (bilinear up/downsampled low-res).
     """
     from bndm_tpu.ops.schedules import alpha_schedule, gamma_schedule
     from bndm_tpu.samplers.iadb import iadb_step
@@ -128,8 +134,12 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
     gamma_params_arr = jnp.asarray(gamma_params, jnp.float32)
     params = params.get("params", params)
     if quant is None:
+        c_in = x0.shape[1] * (2 if x_c is not None else 1)
         quant = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), x0[:1], jnp.zeros((1,)))
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, c_in) + x0.shape[2:], x0.dtype),
+                jnp.zeros((1,)))
         )["quant"]
         quant = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), quant)
 
@@ -137,7 +147,7 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
     # are baked into the HLO as 450+ MB of constants, which the axon relay's
     # remote-compile endpoint rejects (HTTP 413 request-size limit)
     @jax.jit
-    def run(params, x0, quant):
+    def run(params, x0, quant, x_c):
         def body(carry, t):
             x, q = carry
             a_s = alpha_schedule(t + 1.0, nb_steps, scheduler_alpha, alpha_param)
@@ -145,7 +155,8 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
             g_s = gamma_schedule(t + 1.0, nb_steps, scheduler_gamma, gamma_params_arr)
             g_e = gamma_schedule(t, nb_steps, scheduler_gamma, gamma_params_arr)
             tt = jnp.broadcast_to(a_s, (x.shape[0],))
-            d, mut = model.apply({"params": params, "quant": q}, x, tt,
+            inp = x if x_c is None else jnp.concatenate([x, x_c], axis=1)
+            d, mut = model.apply({"params": params, "quant": q}, inp, tt,
                                  mutable=["quant"])
             x = iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
             return (x, mut["quant"]), None
@@ -154,7 +165,7 @@ def calibrate_sampling(model, params, x0, nb_steps, *, scheduler_alpha="linear",
         (_, q), _ = jax.lax.scan(body, (x0, quant), ts)
         return q
 
-    return jax.device_get(run(params, x0, quant))
+    return jax.device_get(run(params, x0, quant, x_c))
 
 
 def calibrate_sampling_ddim(model, params, x0, scheduler, num_inference_steps,

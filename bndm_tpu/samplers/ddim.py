@@ -192,3 +192,68 @@ def sample_ddim(apply_fn, params, x0, *, scheduler, num_inference_steps,
     idx = jnp.arange(ts.shape[0])
     (x, frames), _ = jax.lax.scan(body, (x0, frames0), (ts, idx))
     return x, frames
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_full", "apply_shallow", "scheduler",
+                              "num_inference_steps", "cache_interval",
+                              "pass_step_idx")
+)
+def sample_ddim_cached(apply_full, apply_shallow, params, x0, *, scheduler,
+                       num_inference_steps, cache_interval,
+                       pass_step_idx=False):
+    """Feature-reuse (block-caching) DDIM sampler, cf. DeepCache
+    (arXiv:2312.03209) — the DDIM counterpart of
+    :func:`bndm_tpu.samplers.iadb.sample_iadb_cached`.
+
+    Every ``cache_interval``-th step runs the full UNet and captures the
+    trunk output (``apply_full(params, x, t[, step_idx]) -> (d, deep)``);
+    the steps between recompute only the outer shell around the cached trunk
+    (``apply_shallow(params, x, t, deep[, step_idx]) -> d``). The cache point
+    and interval are static, so the alternation compiles into ONE lax.scan
+    over macro groups (no lax.cond). The DDIM update itself is unchanged
+    (``scheduler.step``), so this works for every prediction type.
+
+    ``pass_step_idx``: thread the absolute scan position into the model —
+    required when the static-calibrated GroupNorm tables are active (DDIM's
+    integer timesteps carry no trajectory index, unlike IADB's alpha).
+    Serving-only: no frame collection; fidelity must be gated like every
+    serving tier (scripts/bench_deepcache.py DDIM leg).
+    """
+    if cache_interval < 2:
+        raise ValueError(f"cache_interval {cache_interval} must be >= 2")
+    scheduler.set_timesteps(num_inference_steps)
+    ts_np = scheduler.timesteps_np
+    n = len(ts_np)
+    n_macro, rem = divmod(n, cache_interval)
+
+    def call(fn, x, t, i, *extra):
+        tt = jnp.broadcast_to(t.astype(jnp.float32), (x.shape[0],))
+        if pass_step_idx:
+            return fn(params, x, tt, *extra, step_idx=i)
+        return fn(params, x, tt, *extra)
+
+    def group(x, ts_g, idx_g, m):
+        d, deep = call(apply_full, x, ts_g[0], idx_g[0])
+        x = scheduler.step(d, ts_g[0], x)
+        for j in range(1, m):  # static unroll: one compiled macro body
+            d = call(apply_shallow, x, ts_g[j], idx_g[j], deep)
+            x = scheduler.step(d, ts_g[j], x)
+        return x
+
+    if n_macro:
+        ts_main = jnp.asarray(
+            ts_np[: n_macro * cache_interval].reshape(n_macro, cache_interval))
+        idx_main = jnp.arange(n_macro * cache_interval).reshape(
+            n_macro, cache_interval)
+
+        def body(x, inp):
+            ts_g, idx_g = inp
+            return group(x, ts_g, idx_g, cache_interval), None
+
+        x0, _ = jax.lax.scan(body, x0, (ts_main, idx_main))
+    if rem:  # trailing short group: fresh full forward, then shallow
+        ts_r = jnp.asarray(ts_np[n_macro * cache_interval:])
+        idx_r = jnp.arange(n_macro * cache_interval, n)
+        x0 = group(x0, ts_r, idx_r, rem)
+    return x0

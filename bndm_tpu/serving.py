@@ -200,6 +200,7 @@ def make_serving_sampler_ddim(
     calib_batch: int = 8,
     key: Optional[jax.Array] = None,
     attn_softmax_dtype: Optional[str] = None,
+    cache_interval: Optional[int] = None,
 ):
     """DDIM-baseline counterpart of :func:`make_serving_sampler`.
 
@@ -207,10 +208,12 @@ def make_serving_sampler_ddim(
     (ops/int8.py::calibrate_sampling_ddim). The static-GN tables are keyed
     on the sampler's scan position — DDIM's integer timesteps carry no
     index — so sampling runs with ``pass_step_idx`` (samplers/ddim.py).
-    Returns ``sample(x0) -> denoised batch``.
+    ``cache_interval``: feature-reuse (block-caching) tier via
+    :func:`bndm_tpu.samplers.ddim.sample_ddim_cached` (calibration always
+    runs the full model). Returns ``sample(x0) -> denoised batch``.
     """
     from bndm_tpu.ops.int8 import calibrate_sampling_ddim
-    from bndm_tpu.samplers.ddim import sample_ddim
+    from bndm_tpu.samplers.ddim import sample_ddim, sample_ddim_cached
 
     params = params.get("params", params)
     m_cal, model = serving_model_pair(
@@ -225,6 +228,14 @@ def make_serving_sampler_ddim(
             key = jax.random.PRNGKey(0)
         p_serve = None
 
+    caching = cache_interval is not None and cache_interval > 1
+
+    def apply_full(p, x, t, step_idx=None):
+        return model.apply(p, x, t, step_idx=step_idx, return_deep=True)
+
+    def apply_shallow(p, x, t, deep, step_idx=None):
+        return model.apply(p, x, t, step_idx=step_idx, deep_feature=deep)
+
     def sample(x0):
         """Denoise x0 (N, C, H, W) with the DDIM serving configuration."""
         nonlocal p_serve
@@ -235,6 +246,11 @@ def make_serving_sampler_ddim(
             quant = calibrate_sampling_ddim(
                 m_cal, params, x_cal, scheduler, num_inference_steps)
             p_serve = {"params": params, "quant": quant}
+        if caching:
+            return sample_ddim_cached(
+                apply_full, apply_shallow, p_serve, x0, scheduler=scheduler,
+                num_inference_steps=num_inference_steps,
+                cache_interval=cache_interval, pass_step_idx=static_gn)
         out, _ = sample_ddim(
             model.apply, p_serve, x0, scheduler=scheduler,
             num_inference_steps=num_inference_steps,

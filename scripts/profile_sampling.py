@@ -63,13 +63,32 @@ def run_and_trace(outdir, batch=500, steps=250, res=64):
         params = {"params": params["params"], "quant": quant}
     x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, res, res), jnp.float32)
 
-    def run(params, x0):
-        out, _ = sample_iadb(
-            model.apply, params, x0,
-            nb_steps=steps, scheduler_gamma="sigmoid",
-            gamma_params=(1000.0, 0.0, 3.0), two_head=True,
-        )
-        return out
+    cache_iv = int(os.environ.get("PROFILE_CACHE_INTERVAL", "0"))
+    if cache_iv > 1:
+        # feature-reuse chain (VERDICT r3 #3: profile the cached step to
+        # cost the shallow shell before pushing interval/depth further)
+        from bndm_tpu.samplers.iadb import sample_iadb_cached
+
+        def apply_full(p, x, t):
+            return model.apply(p, x, t, return_deep=True)
+
+        def apply_shallow(p, x, t, deep):
+            return model.apply(p, x, t, deep_feature=deep)
+
+        def run(params, x0):
+            return sample_iadb_cached(
+                apply_full, apply_shallow, params, x0, nb_steps=steps,
+                cache_interval=cache_iv, scheduler_gamma="sigmoid",
+                gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+            )
+    else:
+        def run(params, x0):
+            out, _ = sample_iadb(
+                model.apply, params, x0,
+                nb_steps=steps, scheduler_gamma="sigmoid",
+                gamma_params=(1000.0, 0.0, 3.0), two_head=True,
+            )
+            return out
 
     _fetch(run(params, x0))  # warmup (compile-cache hit)
     x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)

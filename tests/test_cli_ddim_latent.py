@@ -102,7 +102,7 @@ def test_latent_int8_static_serving(workdir):
 
 def test_latent_cache_interval_serving(workdir):
     """--cache_interval=2 on the latent IADB test path: feature-reuse chain
-    + VAE decode end to end; the DDIM baseline rejects the flag loudly."""
+    + VAE decode end to end."""
     from bndm_tpu.cli.latent_iadb import main
 
     common = [
@@ -118,8 +118,24 @@ def test_latent_cache_interval_serving(workdir):
     out = workdir / "results_gaussianBN" / "latent_cache_gaussianBN"
     assert len(list((out / "images").glob("*.png"))) == 2
 
-    from bndm_tpu.cli.ddim import main as ddim_main
-    with pytest.raises(SystemExit, match="cached variant"):
-        ddim_main(["--dataset_name=tinycat", "--resolution=64", "--tiny_model",
-                   "--output_dir=ddim_cache", "--train_or_test=test",
-                   "--cache_interval=2"])
+
+def test_ddim_cache_interval_serving(workdir):
+    """--cache_interval=2 on the DDIM baseline (r4, VERDICT r3 #6):
+    sample_ddim_cached composes with the int8-static + static-GN serving
+    tiers (GN tables keyed on the absolute scan position threaded through
+    the cached chain); seqs/ frames are skipped in this mode."""
+    from bndm_tpu.cli.ddim import main
+
+    common = [
+        "--dataset_name=tinycat", "--resolution=64", "--tiny_model",
+        "--output_dir=ddim_cache", "--compute_dtype=float32",
+        "--ddpm_num_inference_steps=10",
+    ]
+    main(common + ["--train_or_test=train", "--train_batch_size=4",
+                   "--num_epochs=1", "--max_steps=2", "--lr_warmup_steps=0"])
+    main(common + ["--train_or_test=test", "--eval_batch_size=2",
+                   "--test_samples=2", "--cache_interval=2",
+                   "--conv_int8", "--int8_mode=static", "--static_gn"])
+    out = workdir / "results_gaussianBN" / "ddim_cache"
+    assert len(list((out / "images").glob("*.png"))) == 2
+    assert len(list((out / "seqs").glob("*.png"))) == 0  # serving-only mode

@@ -60,6 +60,23 @@ def test_superres_train_then_test(workdir):
     assert len(list(imgdir.glob("*.png"))) > 0
 
 
+def test_superres_serving_tiers(workdir, capsys):
+    """Conditional super-res with --conv_int8 --int8_mode=static --static_gn
+    (r4): calibrate_sampling threads the concat([x, x_c], 1) conditioning
+    through the calibration trajectory, then static serving samples."""
+    from bndm_tpu.cli.iadb_bn import main
+
+    args = COMMON + ["--is_conditional", "--conditional_type=superres"]
+    main(args + ["--train_or_test=train", "--epochs=1", "--max_steps=2"])
+    main(args + ["--train_or_test=test", "--test_samples=2",
+                 "--conv_int8", "--int8_mode=static", "--static_gn"])
+    out = (workdir / "results_gaussianBN_superres"
+           / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
+    imgdir = out / "tinycat_iadb_gwn2gbn_superres_steps20" / "images"
+    assert len(list(imgdir.glob("*.png"))) > 0
+    assert "serving calibration" in capsys.readouterr().out
+
+
 def test_int8_static_serving_path(workdir):
     """--conv_int8 --int8_mode=static: auto-calibration + static sampling
     through the CLI (the validated serving configuration, PARITY.md §6)."""

@@ -180,3 +180,110 @@ def test_cached_interval_validation(tiny_params):
                            lambda p, x, t, d: m.apply(p, x, t, deep_feature=d),
                            tiny_params, x0, nb_steps=4, cache_interval=0,
                            two_head=True)
+
+
+# ---- DDIM cached sampler (r4, samplers/ddim.py::sample_ddim_cached) ----
+
+TINY_DDIM = dataclasses.replace(TINY, out_channels=3)
+
+
+@pytest.fixture(scope="module")
+def ddim_params():
+    m = UNet2D(TINY_DDIM)
+    return m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)),
+                  jnp.zeros((1,)))
+
+
+@pytest.mark.parametrize("steps,interval", [(6, 2), (5, 2), (2, 5)])
+def test_ddim_cached_matches_eager_oracle(ddim_params, steps, interval):
+    """sample_ddim_cached equals an eager python loop that refreshes the
+    deep feature at every position i with i % interval == 0 (the macro-group
+    starts, including the trailing remainder group), for dividing,
+    non-dividing, and interval > steps cases."""
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim_cached
+
+    m = UNet2D(TINY_DDIM)
+    scheduler = DDIMScheduler(num_train_timesteps=24)
+    scheduler.set_timesteps(steps)
+    x0 = _x((2, 3, 16, 16), seed=7)
+
+    x, deep = x0, None
+    for i, t in enumerate(scheduler.timesteps_np):
+        tt = jnp.full((x.shape[0],), float(t), jnp.float32)
+        if i % interval == 0:
+            d, deep = m.apply(ddim_params, x, tt, return_deep=True)
+        else:
+            d = m.apply(ddim_params, x, tt, deep_feature=deep)
+        x = scheduler.step(d, int(t), x)
+
+    def apply_full(p, xx, t):
+        return m.apply(p, xx, t, return_deep=True)
+
+    def apply_shallow(p, xx, t, deep):
+        return m.apply(p, xx, t, deep_feature=deep)
+
+    got = sample_ddim_cached(apply_full, apply_shallow, ddim_params, x0,
+                             scheduler=scheduler, num_inference_steps=steps,
+                             cache_interval=interval)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_ddim_cached_step_idx_threading():
+    """pass_step_idx=True threads the ABSOLUTE scan position into both the
+    full and shallow calls (the key the static-GN tables use): a fake model
+    whose output depends only on step_idx must reproduce an eager loop over
+    positions 0..n-1 exactly."""
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim_cached
+
+    scheduler = DDIMScheduler(num_train_timesteps=24)
+    steps, interval = 5, 2
+    x0 = _x((1, 3, 16, 16), seed=8)
+
+    def d_of(x, step_idx):
+        return jnp.full_like(x, 0.01) * (step_idx.astype(jnp.float32) + 1.0)
+
+    def apply_full(p, x, t, step_idx=None):
+        return d_of(x, step_idx), jnp.zeros((1,), jnp.float32)
+
+    def apply_shallow(p, x, t, deep, step_idx=None):
+        return d_of(x, step_idx)
+
+    out = sample_ddim_cached(apply_full, apply_shallow, {}, x0,
+                             scheduler=scheduler, num_inference_steps=steps,
+                             cache_interval=interval, pass_step_idx=True)
+    scheduler.set_timesteps(steps)
+    x = x0
+    for i, t in enumerate(scheduler.timesteps_np):
+        x = scheduler.step(jnp.full_like(x, 0.01) * (i + 1.0), int(t), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_ddim_cached_validation(ddim_params):
+    from bndm_tpu.samplers.ddim import DDIMScheduler, sample_ddim_cached
+
+    m = UNet2D(TINY_DDIM)
+    scheduler = DDIMScheduler(num_train_timesteps=24)
+    with pytest.raises(ValueError, match="cache_interval"):
+        sample_ddim_cached(
+            lambda p, x, t: m.apply(p, x, t, return_deep=True),
+            lambda p, x, t, d: m.apply(p, x, t, deep_feature=d),
+            ddim_params, _x((1, 3, 16, 16)), scheduler=scheduler,
+            num_inference_steps=4, cache_interval=1)
+
+
+def test_ddim_serving_cache_interval(ddim_params):
+    """make_serving_sampler_ddim(cache_interval=2) composes with int8-static
+    + static-GN (step_idx keyed GN tables through the cached chain)."""
+    from bndm_tpu.samplers.ddim import DDIMScheduler
+    from bndm_tpu.serving import make_serving_sampler_ddim
+
+    scheduler = DDIMScheduler(num_train_timesteps=24)
+    sample = make_serving_sampler_ddim(TINY_DDIM, ddim_params, scheduler, 6,
+                                       conv_int8=True, static_gn=True,
+                                       cache_interval=2)
+    x0 = _x((2, 3, 16, 16), seed=9)
+    out = sample(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
