@@ -23,9 +23,10 @@ drops the tier from the headline for this run — so the ladder stays honest
 when trained weights flow through.
 
 Env toggles: BENCH_INT8 / BENCH_GN / BENCH_ATTN / BENCH_CACHE / BENCH_MB /
-BENCH_TRAIN (=0 disables each tier/leg), BENCH_CACHE_INTERVAL (default 3),
-BENCH_CACHE_DEPTH (default 1), BENCH_MB_TOTAL (default 1000),
-BENCH_BUDGET_S (default 1500).
+BENCH_TRAIN (=0 disables each tier/leg), BENCH_CACHE_INTERVAL (default 12 —
+the r4 ladder knee: 39.2 samples/s at PSNR 50 dB; 25 still gate-passes at
+43.8 dB but buys only +4%, see PARITY.md §6), BENCH_CACHE_DEPTH (default 1),
+BENCH_MB_TOTAL (default 1000), BENCH_BUDGET_S (default 1500).
 
 vs_baseline: the reference commits NO numbers (BASELINE.md), so the baseline
 is an analytic RTX-4090 estimate on the same workload, documented here:
@@ -217,7 +218,7 @@ def main():  # noqa: C901 — linear leg sequence, clearer flat
     use_cache = os.environ.get("BENCH_CACHE", "1") != "0"
     use_mb = os.environ.get("BENCH_MB", "1") != "0"
     use_train = os.environ.get("BENCH_TRAIN", "1") != "0"
-    cache_iv = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
+    cache_iv = int(os.environ.get("BENCH_CACHE_INTERVAL", "12"))
     cache_depth = int(os.environ.get("BENCH_CACHE_DEPTH", "1"))
     mb_total = int(os.environ.get("BENCH_MB_TOTAL", "1000"))
 

@@ -5,11 +5,13 @@ The serving tiers (each fidelity-gated on v5e, PARITY.md §6):
   bf16              16.45 samples/s/chip   (parity path)
   + int8-static     18.39  (SSIM 1.0 / PSNR 49 dB vs bf16)
   + static-GN       20.93  (SSIM 0.9996 / PSNR 40 dB vs exact-GN)
-  + bf16 softmax    21.68  (same gate numbers — no added error)
-  + microbatched    21.89 at effective batch 1000+ (no HBM ceiling)
-  + cached(i=3)     32.28  (feature-reuse/DeepCache: SSIM 1.000 /
-                            PSNR 59.7 dB vs uncached on identical x0;
-                            interval=2 gives 28.73 at PSNR 61.4 dB)
+  + bf16 softmax    21.68-21.84  (same gate numbers — no added error)
+  + cached(i=12)    39.20  (feature-reuse/DeepCache, the r4 ladder knee:
+                            SSIM 1.000 / PSNR 50 dB vs uncached on
+                            identical x0; ladder 28.7 (i=2) .. 40.8 (i=25,
+                            43.8 dB) saturates at the 1.94x Amdahl ceiling
+                            of the 0.515-cost shallow step)
+  + microbatched    effective batch 1000+ in one program (no HBM ceiling)
 
 ``make_serving_sampler`` builds the calibrate/static model pair, runs the
 one-off exact calibration trajectory (conv activation scales + per-step
