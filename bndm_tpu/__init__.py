@@ -35,6 +35,7 @@ def __getattr__(name):
         "IADBScheduler": ("bndm_tpu.samplers.iadb", "IADBScheduler"),
         "DDIMScheduler": ("bndm_tpu.samplers.ddim", "DDIMScheduler"),
         "sample_ddim": ("bndm_tpu.samplers.ddim", "sample_ddim"),
+        "sample_ddim_cached": ("bndm_tpu.samplers.ddim", "sample_ddim_cached"),
         "PixelTrainer": ("bndm_tpu.train.pixel", "PixelTrainer"),
         "TrainConfig": ("bndm_tpu.train.pixel", "TrainConfig"),
         "CheckpointManager": ("bndm_tpu.ckpt.manager", "CheckpointManager"),

@@ -583,13 +583,33 @@ def run_superres_test(opt):
                        inplace=True,
                        key=jax.random.fold_in(key, 10_000 + i)).noise
 
-        sample, frames = sample_iadb(
-            model.apply, params, x0,
-            nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
-            alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
-            gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
-            x_c=x_c, collect_frames=True,
-        )
+        if opt.cache_interval and opt.cache_interval > 1:
+            # feature-reuse serving tier (r4: the cached chain threads x_c
+            # through full AND shallow forwards); frames are serving-skipped
+            from bndm_tpu.samplers.iadb import sample_iadb_cached
+
+            def _full(p, x, t):
+                return model.apply(p, x, t, return_deep=True)
+
+            def _shallow(p, x, t, deep):
+                return model.apply(p, x, t, deep_feature=deep)
+
+            sample = sample_iadb_cached(
+                _full, _shallow, params, x0,
+                nb_steps=opt.nb_steps, cache_interval=opt.cache_interval,
+                scheduler_alpha=opt.scheduler_alpha,
+                alpha_param=opt.scheduler_param,
+                scheduler_gamma=opt.scheduler_gamma,
+                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                x_c=x_c)
+        else:
+            sample, frames = sample_iadb(
+                model.apply, params, x0,
+                nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
+                alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
+                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                x_c=x_c, collect_frames=True,
+            )
         s01 = jnp.clip((sample + 1) / 2, 0, 1)
         x01 = (x1 + 1) / 2
         agg["ssim"] += float(ssim(s01, x01)[0])
@@ -615,9 +635,6 @@ def main(argv=None):
 
         init_distributed(opt.coordinator_address, opt.num_processes,
                          opt.process_id)
-    if opt.cache_interval and opt.cache_interval > 1 and opt.is_conditional:
-        raise SystemExit("--cache_interval is unconditional-serving only "
-                         "(the cached sampler carries no x_c conditioning)")
     np.random.seed(opt.seed)
     if opt.train_or_test == "train":
         run_train(opt)

@@ -116,7 +116,7 @@ def sample_iadb(
 
 
 def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
-                  cache_interval, alpha, gamma, two_head):
+                  cache_interval, alpha, gamma, two_head, x_c=None):
     """The feature-reuse reverse chain: scan over macro groups of
     ``cache_interval`` steps — one full forward (which also returns the
     trunk output) then ``cache_interval - 1`` shallow forwards reusing it —
@@ -125,6 +125,10 @@ def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
     ``ts0``: (n_macro,) descending group-start timesteps;
     ``apply_full(params, x, t) -> (d, deep)``;
     ``apply_shallow(params, x, t, deep) -> d``.
+    ``x_c``: optional channel-concat conditioning (super-res,
+    iadb_bn.py:406) — the model sees ``concat([x, x_c], 1)`` on full AND
+    shallow forwards (the conditioning enters through the recomputed shell;
+    the cached trunk already saw it on the group's full step).
     """
 
     def one_step(x, t, d):
@@ -135,12 +139,15 @@ def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
     def tt(x, t):
         return jnp.broadcast_to(alpha(t + 1.0), (x.shape[0],))
 
+    def inp(x):
+        return x if x_c is None else jnp.concatenate([x, x_c], axis=1)
+
     def group(x, t0, m):
-        d, deep = apply_full(params, x, tt(x, t0))
+        d, deep = apply_full(params, inp(x), tt(x, t0))
         x = one_step(x, t0, d)
         for j in range(1, m):  # static unroll: one compiled macro body
             t = t0 - j
-            d = apply_shallow(params, x, tt(x, t), deep)
+            d = apply_shallow(params, inp(x), tt(x, t), deep)
             x = one_step(x, t, d)
         return x
 
@@ -173,6 +180,7 @@ def sample_iadb_cached(
     scheduler_gamma="linear",
     gamma_params=(1.0, 0.0, 3.0),
     two_head=False,
+    x_c: Optional[jax.Array] = None,
 ):
     """Feature-reuse (block-caching) serving sampler, cf. "Cache Me if You
     Can" (arXiv:2312.03209) / DeepCache — TPU-first: the cache point and
@@ -184,9 +192,10 @@ def sample_iadb_cached(
     UNet2D(return_deep=True)); the following ``cache_interval - 1`` steps
     recompute only the outer shell around the cached trunk
     (``apply_shallow(params, x, t, deep) -> d``, UNet2D(deep_feature=...)).
-    ``cache_interval=1`` is exactly the plain sampler (tested). Serving-only:
-    no frame collection, no conditional x_c; fidelity must be gated like
-    every serving tier (scripts/bench_deepcache.py).
+    ``cache_interval=1`` is exactly the plain sampler (tested). ``x_c``:
+    channel-concat conditioning for the super-res path (iadb_bn.py:406),
+    seen by every forward. Serving-only: no frame collection; fidelity must
+    be gated like every serving tier (scripts/bench_deepcache.py).
     """
     gamma_params = jnp.asarray(gamma_params, jnp.float32)
     if cache_interval < 1:
@@ -203,7 +212,7 @@ def sample_iadb_cached(
     return _cached_chain(
         apply_full, apply_shallow, params, x0, ts0, rem,
         cache_interval=cache_interval, alpha=alpha, gamma=gamma,
-        two_head=two_head)
+        two_head=two_head, x_c=x_c)
 
 
 @functools.partial(

@@ -94,6 +94,7 @@ def make_serving_sampler(
     two_head: Optional[bool] = None,
     attn_softmax_dtype: Optional[str] = None,
     cache_interval: Optional[int] = None,
+    x_c: Optional[jax.Array] = None,
 ):
     """Calibrate once, then serve.
 
@@ -112,6 +113,9 @@ def make_serving_sampler(
     only the outer ``cfg.cache_depth`` shell around the cached trunk output
     (samplers.iadb.sample_iadb_cached; fidelity-gated in
     scripts/bench_deepcache.py). Calibration always runs the full model.
+    ``x_c``: channel-concat conditioning for the conditional super-res path
+    (iadb_bn.py:406), batch-aligned with x0; calibration uses its leading
+    slice. Not supported together with ``microbatch``.
     """
     from bndm_tpu.ops.int8 import calibrate_sampling
     from bndm_tpu.samplers.iadb import (
@@ -119,6 +123,9 @@ def make_serving_sampler(
 
     if static_gn and scheduler_alpha != "linear":
         raise ValueError("static_gn requires the linear alpha schedule")
+    if x_c is not None and microbatch:
+        raise ValueError("x_c conditioning is not supported with microbatch "
+                         "(the conditional workloads fit in one batch)")
     if two_head is None:
         two_head = cfg.out_channels == 2 * cfg.in_channels
     params = params.get("params", params)
@@ -147,7 +154,8 @@ def make_serving_sampler(
             m_cal, params, x_cal, nb_steps,
             scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
             scheduler_gamma=scheduler_gamma, gamma_params=gp,
-            two_head=two_head)
+            two_head=two_head,
+            x_c=None if x_c is None else x_c[:x_cal.shape[0]])
         p_serve = {"params": params, "quant": quant}
 
     caching = cache_interval is not None and cache_interval > 1
@@ -180,12 +188,12 @@ def make_serving_sampler(
                 cache_interval=cache_interval,
                 scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
                 scheduler_gamma=scheduler_gamma, gamma_params=gp,
-                two_head=two_head)
+                two_head=two_head, x_c=x_c)
         out, _ = sample_iadb(
             model.apply, p_serve, x0, nb_steps=nb_steps,
             scheduler_alpha=scheduler_alpha, alpha_param=alpha_param,
             scheduler_gamma=scheduler_gamma, gamma_params=gp,
-            two_head=two_head)
+            two_head=two_head, x_c=x_c)
         return out
 
     return sample

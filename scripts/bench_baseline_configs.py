@@ -100,6 +100,20 @@ def leg_ddim(batch, steps, res, tiers, cache_iv):
                            jnp.float32)
     x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
 
+    # tier composition knobs (SERVING_INT8/SERVING_GN/SERVING_ATTN=0/1) to
+    # isolate which relaxation moves a near-gate fidelity number.
+    # static-GN defaults OFF for DDIM: measured on v5e (r4) the full stack
+    # fails the gate (SSIM 0.9986 / PSNR 32.5 dB < 35) — DDIM's 1000-T
+    # trajectories drift more per scan position than IADB's, so the
+    # per-position GN tables mis-normalize; int8+bf16-softmax alone passes
+    # at 40.3 dB (19.0 samples/s) and cached(i=5) on top at 37.3 dB.
+    s_int8 = os.environ.get("SERVING_INT8", "1") != "0"
+    s_gn = os.environ.get("SERVING_GN", "0") != "0"
+    s_attn = os.environ.get("SERVING_ATTN", "1") != "0"
+    tier_name = " + ".join(n for on, n in [(s_int8, "int8-static"),
+                                           (s_gn, "static-GN"),
+                                           (s_attn, "bf16-softmax")] if on)
+
     results = {}
     out_ref = out_serve = None
     if "bf16" in tiers:
@@ -112,11 +126,10 @@ def leg_ddim(batch, steps, res, tiers, cache_iv):
         results["bf16"] = {"tier": "bf16", "sps": round(sps, 3)}
     if "serving" in tiers:
         sample = make_serving_sampler_ddim(
-            cfg, params, scheduler, steps, conv_int8=True, static_gn=True,
-            attn_softmax_dtype="bfloat16")
+            cfg, params, scheduler, steps, conv_int8=s_int8, static_gn=s_gn,
+            attn_softmax_dtype="bfloat16" if s_attn else None)
         sps, dt, out_serve = _timed(sample, x0, x1, batch, "ddim serving")
-        r = {"tier": "int8-static + static-GN + bf16-softmax",
-             "sps": round(sps, 3)}
+        r = {"tier": tier_name, "sps": round(sps, 3)}
         if out_ref is not None:
             s, p = _fidelity(out_serve, out_ref)
             r.update(ssim=round(s, 4), psnr_db=round(p, 2),
@@ -125,8 +138,9 @@ def leg_ddim(batch, steps, res, tiers, cache_iv):
         results["serving"] = r
     if "cached" in tiers:
         sample_c = make_serving_sampler_ddim(
-            cfg, params, scheduler, steps, conv_int8=True, static_gn=True,
-            attn_softmax_dtype="bfloat16", cache_interval=cache_iv)
+            cfg, params, scheduler, steps, conv_int8=s_int8, static_gn=s_gn,
+            attn_softmax_dtype="bfloat16" if s_attn else None,
+            cache_interval=cache_iv)
         sps, dt, out_c = _timed(sample_c, x0, x1, batch,
                                 f"ddim cached(i={cache_iv})")
         ref = out_serve if out_serve is not None else out_ref
@@ -143,14 +157,13 @@ def leg_ddim(batch, steps, res, tiers, cache_iv):
 def leg_superres(batch, steps, res, tiers, cache_iv):
     """BASELINE #4: conditional super-res sampling (reference
     iadb_bn.py:566-684 at scripts/sampling/iadb_church_superres_test.sh).
-    The cached tier is N/A (the cached chain carries no x_c conditioning)."""
+    r4: the cached chain threads x_c, so the feature-reuse tier applies."""
     import jax
     import jax.numpy as jnp
 
     from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
-    from bndm_tpu.ops.int8 import calibrate_sampling
     from bndm_tpu.samplers.iadb import sample_iadb
-    from bndm_tpu.serving import serving_model_pair
+    from bndm_tpu.serving import make_serving_sampler
     from bndm_tpu.utils.image import superres_condition
 
     gp = (0.2, 0.0, 3.0)  # sigmoid tau=0.2 (the script's BN run)
@@ -185,27 +198,36 @@ def leg_superres(batch, steps, res, tiers, cache_iv):
         sps, dt, out_ref = _timed(sampler(model)(params), x0, x1, batch,
                                   "superres bf16")
         results["bf16"] = {"tier": "bf16", "sps": round(sps, 3)}
+
+    def make_tier(iv):
+        return make_serving_sampler(
+            cfg, params, steps, conv_int8=True, static_gn=True,
+            attn_softmax_dtype="bfloat16", scheduler_gamma="sigmoid",
+            gamma_params=gp, two_head=True, x_c=x_c, cache_interval=iv)
+
+    out_serve = None
     if "serving" in tiers:
-        m_cal, m_sta = serving_model_pair(
-            cfg, conv_int8=True, int8_static=True, static_gn=True,
-            gn_steps=steps, relax_kw={"attn_softmax_dtype": "bfloat16"})
-        t0 = time.perf_counter()
-        quant = calibrate_sampling(
-            m_cal, params, x0[:8], steps, scheduler_gamma="sigmoid",
-            gamma_params=gp, two_head=True, x_c=x_c[:8])
-        print(f"superres calibration: {time.perf_counter() - t0:.1f}s",
-              flush=True)
-        p_sta = {"params": params["params"], "quant": quant}
-        sps, dt, out_s = _timed(sampler(m_sta)(p_sta), x0, x1, batch,
-                                "superres serving")
+        sps, dt, out_serve = _timed(make_tier(None), x0, x1, batch,
+                                    "superres serving")
         r = {"tier": "int8-static + static-GN + bf16-softmax",
              "sps": round(sps, 3)}
         if out_ref is not None:
-            s, p = _fidelity(out_s, out_ref)
+            s, p = _fidelity(out_serve, out_ref)
             r.update(ssim=round(s, 4), psnr_db=round(p, 2),
                      gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
                      else "fail")
         results["serving"] = r
+    if "cached" in tiers:
+        sps, dt, out_c = _timed(make_tier(cache_iv), x0, x1, batch,
+                                f"superres cached(i={cache_iv})")
+        ref = out_serve if out_serve is not None else out_ref
+        r = {"tier": f"serving + cached(i={cache_iv})", "sps": round(sps, 3)}
+        if ref is not None:
+            s, p = _fidelity(out_c, ref)
+            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
+                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
+                     else "fail")
+        results["cached"] = r
     return _report("superres", f"IADB super-res conditional res{res}",
                    results, batch, steps)
 
@@ -221,7 +243,10 @@ def leg_latent(batch, steps, res, tiers, cache_iv):
     from bndm_tpu.serving import make_serving_sampler
 
     lat = res // 8  # 512 -> 64 latents (SD VAE x8)
-    cfg = unet_config_for_res(lat, in_channels=4, out_channels=8,
+    # 256^2 pixels -> 32^2 latents use the reference's small 3-block config
+    # (latent_...:348-354), keyed "latent32" in unet_config_for_res
+    cfg = unet_config_for_res("latent32" if lat == 32 else lat,
+                              in_channels=4, out_channels=8,
                               dtype="bfloat16", norm_dtype="bfloat16")
     model = UNet2D(cfg)
     params = model.init(jax.random.PRNGKey(0),
@@ -290,6 +315,11 @@ DEFAULTS = {  # (batch, steps, res) per reference sampling script
     "superres": (200, 250, 128),
     "latent": (50, 250, 512),
 }
+# per-leg feature-reuse interval when CACHE_INTERVAL is unset: DDIM passes
+# its gate at i=5 with 2.3 dB margin (i=12 passes by only 0.01 dB — too
+# tight to default); the latent/pixel knee measurements sit at much higher
+# PSNR so i=5 is conservative there too
+DEFAULT_IV = {"ddim": 5, "superres": 5, "latent": 5}
 
 
 def main():
@@ -298,12 +328,13 @@ def main():
     _setup_compile_cache()
     legs = os.environ.get("LEGS", "ddim,superres,latent").split(",")
     tiers = os.environ.get("TIERS", "bf16,serving").split(",")
-    cache_iv = int(os.environ.get("CACHE_INTERVAL", "3"))
+    env_iv = os.environ.get("CACHE_INTERVAL")
     override = [int(a) for a in sys.argv[1:]]
     summary = {}
     for leg in legs:
         leg = leg.strip()
         batch, steps, res = override or DEFAULTS[leg]
+        cache_iv = int(env_iv) if env_iv else DEFAULT_IV[leg]
         fn = {"ddim": leg_ddim, "superres": leg_superres,
               "latent": leg_latent}[leg]
         try:

@@ -153,7 +153,7 @@ def test_microbatch_remainder_padding(workdir):
 def test_cache_interval_serving_path(workdir):
     """--cache_interval=2: the feature-reuse (block-caching) tier through the
     CLI — full-batch cached chain, then composed with --microbatch, then the
-    conditional guard."""
+    conditional (super-res) cached chain with x_c threaded (r4)."""
     from bndm_tpu.cli.iadb_bn import main
 
     main(COMMON + ["--train_or_test=train", "--epochs=1", "--max_steps=2",
@@ -173,7 +173,14 @@ def test_cache_interval_serving_path(workdir):
                    "--microbatch=2", "--conv_int8", "--int8_mode=static"])
     assert len(list(imgdir.glob("*.png"))) == 4
 
-    with pytest.raises(SystemExit, match="unconditional"):
-        main(COMMON + ["--train_or_test=test", "--test_samples=2",
-                       "--cache_interval=2", "--is_conditional",
-                       "--conditional_type=superres"])
+    # conditional super-res with the cached chain (x_c through full AND
+    # shallow forwards), composed with the calibrated static tiers
+    cond = COMMON + ["--is_conditional", "--conditional_type=superres"]
+    main(cond + ["--train_or_test=train", "--epochs=1", "--max_steps=2"])
+    cout = (workdir / "results_gaussianBN_superres"
+            / "tinycat_gaussianBN_sigmoid_0.2_0_3_outc6_seed0")
+    cimg = cout / "tinycat_iadb_gwn2gbn_superres_steps20" / "images"
+    main(cond + ["--train_or_test=test", "--test_samples=2",
+                 "--cache_interval=2", "--conv_int8", "--int8_mode=static",
+                 "--static_gn"])
+    assert len(list(cimg.glob("*.png"))) > 0

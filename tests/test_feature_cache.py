@@ -172,6 +172,85 @@ def test_serving_cache_interval(tiny_params):
     assert np.isfinite(np.asarray(out2)).all()
 
 
+TINY_COND = dataclasses.replace(TINY, in_channels=6, out_channels=6)
+
+
+def test_cached_xc_conditioning(tiny_params):
+    """r4: the cached chain threads channel-concat x_c (super-res,
+    iadb_bn.py:406) through full AND shallow forwards. interval=1 must equal
+    the plain conditional sampler; interval=2 must equal the eager oracle."""
+    m = UNet2D(TINY_COND)
+    x = _x((2, 3, 16, 16), seed=6)
+    x_c = _x((2, 3, 16, 16), seed=7)
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.PRNGKey(2),
+                    jnp.concatenate([x, x_c], axis=1), t)
+
+    def apply_full(p, xx, t):
+        return m.apply(p, xx, t, return_deep=True)
+
+    def apply_shallow(p, xx, t, deep):
+        return m.apply(p, xx, t, deep_feature=deep)
+
+    want, _ = sample_iadb(m.apply, params, x, nb_steps=5, two_head=True,
+                          x_c=x_c)
+    got = sample_iadb_cached(apply_full, apply_shallow, params, x,
+                             nb_steps=5, cache_interval=1, two_head=True,
+                             x_c=x_c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # interval=2 eager oracle with conditioning
+    from bndm_tpu.ops.schedules import alpha_schedule, gamma_schedule
+    gp = jnp.asarray((1.0, 0.0, 3.0), jnp.float32)
+    nb_steps, interval = 5, 2
+    xx, deep = x, None
+    for tstep in range(nb_steps - 1, -1, -1):
+        a_s = alpha_schedule(jnp.float32(tstep + 1), nb_steps, "linear", 0.02)
+        a_e = alpha_schedule(jnp.float32(tstep), nb_steps, "linear", 0.02)
+        g_s = gamma_schedule(jnp.float32(tstep + 1), nb_steps, "linear", gp)
+        g_e = gamma_schedule(jnp.float32(tstep), nb_steps, "linear", gp)
+        tt = jnp.broadcast_to(a_s, (xx.shape[0],))
+        inp = jnp.concatenate([xx, x_c], axis=1)
+        steps_done = nb_steps - 1 - tstep
+        rem = nb_steps % interval
+        is_full = (steps_done % interval == 0) if tstep >= rem \
+            else (tstep == rem - 1)
+        if is_full:
+            d, deep = m.apply(params, inp, tt, return_deep=True)
+        else:
+            d = m.apply(params, inp, tt, deep_feature=deep)
+        c = xx.shape[1]
+        xx = xx + (a_s - a_e) * d[:, :c] + (g_s - g_e) * d[:, c:]
+    got2 = sample_iadb_cached(apply_full, apply_shallow, params, x,
+                              nb_steps=nb_steps, cache_interval=interval,
+                              two_head=True, x_c=x_c)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(xx),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serving_xc_cached(tiny_params):
+    """make_serving_sampler(x_c=..., cache_interval=2) calibrates through
+    the concat conditioning and serves the conditional cached chain; x_c
+    with microbatch is rejected."""
+    from bndm_tpu.serving import make_serving_sampler
+
+    x0 = _x((4, 3, 16, 16), seed=8)
+    x_c = _x((4, 3, 16, 16), seed=9)
+    params = UNet2D(TINY_COND).init(
+        jax.random.PRNGKey(3),
+        jnp.concatenate([x0[:1], x_c[:1]], axis=1), jnp.zeros((1,)))
+    sample = make_serving_sampler(TINY_COND, params, nb_steps=6,
+                                  conv_int8=True, static_gn=True,
+                                  cache_interval=2, two_head=True, x_c=x_c)
+    out = sample(x0)
+    assert out.shape == x0.shape
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="microbatch"):
+        make_serving_sampler(TINY_COND, params, nb_steps=6, microbatch=2,
+                             two_head=True, x_c=x_c)
+
+
 def test_cached_interval_validation(tiny_params):
     m = UNet2D(TINY)
     x0 = _x((1, 3, 16, 16))
