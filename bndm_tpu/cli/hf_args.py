@@ -127,6 +127,13 @@ def build_parser():
                         "cached step recomputes")
     p.add_argument("--vae_params", type=str, default=None,
                    help="path to converted AutoencoderKL weights (.npz); random-init if absent")
+    p.add_argument("--decode_microbatch", type=int, default=16,
+                   help="VAE-decode the sampled latents in chunks of this "
+                        "size inside one jit (lax.map): the full-batch "
+                        "512^2 bs=50 decode allocates 2 x 6.25 GB bf16 "
+                        "temporaries and OOMs a 16 GB v5e at compile time "
+                        "(models/vae.py::make_decoder). Bit-exact vs "
+                        "full-batch (decode is per-sample); 0 = full batch")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of one sampling batch "
                         "(view with TensorBoard/xprof); mirrors the pixel "

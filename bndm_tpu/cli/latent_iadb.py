@@ -230,7 +230,6 @@ def run_test(args):
 
     from bndm_tpu.cli.common import load_tree_unet_params, save_image_grid, serving_relax_kw
     from bndm_tpu.models.unet2d import UNet2D
-    from bndm_tpu.models.vae import AutoencoderKL
     from bndm_tpu.samplers.iadb import sample_iadb
 
     out_dir = out_dir_for(args)
@@ -260,7 +259,9 @@ def run_test(args):
     vae, vae_params = get_vae(args)
     two_head = args.noise_type in ("gaussianBN", "gaussianRN") and out_channels == 8
 
-    decode = jax.jit(lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode))
+    from bndm_tpu.models.vae import make_decoder
+
+    decode = make_decoder(vae, getattr(args, "decode_microbatch", 16))
     lat_res = args.resolution // 8
 
     # serving path (same flow as the pixel CLI): calibrate constant conv

@@ -209,3 +209,40 @@ class AutoencoderKL(nn.Module):
 
     def __call__(self, x, key=None):
         return self.decode(self.encode(x, key))
+
+
+def make_decoder(vae, microbatch=None):
+    """Jitted ``decode(params, z)`` closure, optionally microbatched.
+
+    The full-batch 512^2 decode materializes bf16 (B, 512, 512, 256)
+    temporaries — at the reference's latent test config (bs=50,
+    latent_iadb_cat_res512_test.sh) that is 2 x 6.25 GB and OOMs a 16 GB
+    v5e chip at compile time. With ``microbatch`` set, the batch is decoded
+    as a ``lax.map`` over chunks inside ONE jit: only one chunk's decoder
+    activations are live at a time (plus the output buffer, which is small
+    — B x 3 x H x W). Decoding is per-sample independent (GroupNorm
+    normalizes within each sample), so chunking is bit-exact vs full-batch.
+    Non-divisible batches are zero-padded to the next multiple and sliced
+    back.
+    """
+
+    def _decode(params, z):
+        return vae.apply(params, z, method=AutoencoderKL.decode)
+
+    if not microbatch:
+        return jax.jit(_decode)
+
+    @jax.jit
+    def decode_mb(params, z):
+        b = z.shape[0]
+        mb = min(microbatch, b)
+        pad = (-b) % mb
+        if pad:
+            z = jnp.concatenate(
+                [z, jnp.zeros((pad,) + z.shape[1:], z.dtype)], axis=0)
+        zk = z.reshape((z.shape[0] // mb, mb) + z.shape[1:])
+        out = jax.lax.map(lambda zc: _decode(params, zc), zk)
+        out = out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
+        return out[:b]
+
+    return decode_mb

@@ -239,7 +239,7 @@ def leg_latent(batch, steps, res, tiers, cache_iv):
     import jax.numpy as jnp
 
     from bndm_tpu.models.unet2d import UNet2D, unet_config_for_res
-    from bndm_tpu.models.vae import AutoencoderKL, VAEConfig
+    from bndm_tpu.models.vae import AutoencoderKL, VAEConfig, make_decoder
     from bndm_tpu.serving import make_serving_sampler
 
     lat = res // 8  # 512 -> 64 latents (SD VAE x8)
@@ -259,8 +259,10 @@ def leg_latent(batch, steps, res, tiers, cache_iv):
                            jnp.float32)
     x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)
 
-    decode = jax.jit(lambda vp, z: vae.apply(vp, z,
-                                             method=AutoencoderKL.decode))
+    # microbatched decode (lax.map over chunks of 10): the full-batch bs=50
+    # 512^2 decode allocates 2 x 6.25 GB bf16 temps and OOMs v5e HBM at
+    # compile time (measured r4) — models/vae.py::make_decoder
+    decode = make_decoder(vae, int(os.environ.get("DECODE_MB", "10")))
 
     results = {}
     out_ref = None

@@ -71,3 +71,19 @@ def test_converter_names_roundtrip(vae):
     out1 = m.apply(params, x)
     out2 = m.apply(back, x)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6, atol=1e-6)
+
+
+def test_make_decoder_microbatched_exact(vae):
+    """make_decoder(mb): lax.map-chunked decode is bit-exact vs full-batch
+    (decode is per-sample — GroupNorm normalizes within each sample), incl.
+    a batch the microbatch does not divide (pad + slice-back path)."""
+    from bndm_tpu.models.vae import make_decoder
+
+    m, params = vae
+    z = jnp.asarray(np.random.default_rng(3).standard_normal((5, 4, 16, 16)),
+                    jnp.float32)
+    full = make_decoder(m)(params, z)
+    for mb in (2, 5, 8):  # non-dividing, exact, mb > batch
+        out = make_decoder(m, mb)(params, z)
+        assert out.shape == full.shape
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(full))
