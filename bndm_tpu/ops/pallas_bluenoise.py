@@ -240,18 +240,45 @@ def _fused_bluenoise_flat(L, gamma_cols, seeds, gbn_only=False):
     return noise[:, :m], bn[:, :m], wn[:, :m]
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
+def _fused_flat_diff(L, gamma_cols, seeds, gbn_only):
+    """Differentiable wrapper of the fused kernel.
+
+    pallas_call has no JVP rule, but the training loss differentiates the
+    noise mix w.r.t. the LEARNABLE gamma schedule (train/pixel.py: jax.grad
+    over sched_params flows through get_noise). The tangent needs no kernel
+    re-entry: bn and wn are gamma-independent and the in-kernel mix is
+    ``noise = bn*(1-g) + wn*g``, so d noise/d g = wn - bn — computable from
+    the kernel's own outputs. L (a fixed covariance factor, never trained)
+    and the integer seeds carry no tangent.
+    """
+    return _fused_bluenoise_flat(L, gamma_cols, seeds, gbn_only=gbn_only)
+
+
+@_fused_flat_diff.defjvp
+def _fused_flat_diff_jvp(gbn_only, primals, tangents):
+    L, gamma_cols, seeds = primals
+    _, dgamma, _ = tangents
+    noise, bn, wn = _fused_flat_diff(L, gamma_cols, seeds, gbn_only)
+    zero = jnp.zeros_like(bn)
+    dnoise = zero if gbn_only else (wn - bn) * dgamma[None, :]
+    return (noise, bn, wn), (dnoise, zero, zero)
+
+
 def fused_bluenoise(key, batch, channels, L, gamma, *, gbn_only=False, res=64):
     """Fused [RNG -> L-matmul -> mix] for the res-64 path.
 
     Returns (noise, noise_bn, noise_wn) shaped (B, C, 64, 64) — the same
     contract as the unfused engine, with the white noise drawn by the
     in-kernel TPU PRNG (a different-but-valid stream vs jax.random.normal).
+    Differentiable w.r.t. ``gamma`` (custom JVP above); L and the PRNG key
+    are treated as constants.
     """
     assert res == 64, "fused path is the res-64 hot path"
     n = L.shape[0]
     seeds = jax.random.randint(key, (2,), 0, 2**31 - 1, dtype=jnp.int32)
     gamma_cols = jnp.repeat(jnp.asarray(gamma, jnp.float32), channels)
-    noise, bn, wn = _fused_bluenoise_flat(L, gamma_cols, seeds, gbn_only=gbn_only)
+    noise, bn, wn = _fused_flat_diff(L, gamma_cols, seeds, gbn_only)
 
     def to_img(x):
         return jnp.transpose(x.reshape(n, batch, channels), (1, 2, 0)).reshape(

@@ -41,3 +41,37 @@ def test_fused_contract():
 
     noise2 = np.asarray(fused_bluenoise(key, B, C, Lj, gamma)[0])
     np.testing.assert_array_equal(noise, noise2)
+
+
+def test_fused_gamma_gradient():
+    """The custom JVP (r4): gradients flow through gamma — required because
+    the training loss differentiates the noise mix w.r.t. the learnable
+    gamma schedule (train/pixel.py). d noise/d gamma must equal wn - bn
+    exactly (the in-kernel mix is bn*(1-g) + wn*g)."""
+    import jax.numpy as jnp
+
+    from bndm_tpu.ops.pallas_bluenoise import fused_bluenoise
+
+    rng = np.random.default_rng(1)
+    n = 4096
+    L = np.tril(rng.standard_normal((n, n)).astype(np.float32) * 0.02)
+    np.fill_diagonal(L, 1.0)
+    Lj = jnp.asarray(L)
+    B, C = 4, 3
+    gamma = jnp.linspace(0.2, 0.8, B)
+    key = jax.random.PRNGKey(1)
+
+    def f(g):
+        noise, _, _ = fused_bluenoise(key, B, C, Lj, g)
+        return noise
+
+    noise, bn, wn = fused_bluenoise(key, B, C, Lj, gamma)
+    _, tangent = jax.jvp(f, (gamma,), (jnp.ones_like(gamma),))
+    np.testing.assert_allclose(np.asarray(tangent),
+                               np.asarray(wn - bn), rtol=1e-6, atol=1e-6)
+
+    # and through a scalar loss (the training usage pattern)
+    grad = jax.grad(lambda g: jnp.sum(f(g) ** 2))(gamma)
+    want = 2.0 * jnp.sum(noise * (wn - bn), axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want),
+                               rtol=1e-3, atol=1e-2)
