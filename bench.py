@@ -497,7 +497,10 @@ def _bench_train(batch=None, res=64, inner=5, engine=None):
     if batch is None:
         batch = 4 if TINY else 64
     if engine is None:
-        engine = os.environ.get("BENCH_TRAIN_NOISE", "xla")
+        # "auto" = the r4 training default (fused noise kernel on TPU,
+        # measured 1.059x at bs=64 — scripts/bench_fused_noise_train.py);
+        # the fused bs=64 program is in the compile cache from that run
+        engine = os.environ.get("BENCH_TRAIN_NOISE", "auto")
     rng = np.random.default_rng(7)
     L = np.tril(rng.standard_normal((4096, 4096)).astype(np.float32) * 0.01)
     np.fill_diagonal(L, 1.0)

@@ -138,9 +138,13 @@ def get_noise(
     Returns ``NoiseResult(noise, noise_bn, noise_wn)``.
 
     ``engine``: "xla" (default — jax.random.normal white noise, reproducible
-    across backends) or "fused" (TPU-only fully-fused Pallas kernel with
-    in-kernel PRNG; res-64 fresh-noise path only, used by training where
-    cross-backend bit parity doesn't matter).
+    across backends), "fused" (TPU-only fully-fused Pallas kernel with
+    in-kernel PRNG; res-64 fresh-noise path only), or "auto" (fused where
+    eligible, xla otherwise — the training default since r4: measured
+    end-to-end train win of 1.059x at bs=64 / 1.008x at bs=256 on v5e,
+    `scripts/bench_fused_noise_train.py`). The fused stream is
+    different-but-valid vs jax.random.normal, so anything needing
+    cross-backend bit parity (saved-noise replication, tests) stays "xla".
     """
     if noise_type not in NOISE_TYPES:
         raise NotImplementedError(f"noise_type {noise_type!r}")
@@ -199,7 +203,8 @@ def get_noise(
         )
 
     if res == 64:
-        if engine == "fused" and not inplace and jax.default_backend() == "tpu":
+        if (engine in ("fused", "auto") and not inplace
+                and jax.default_backend() == "tpu"):
             # one Pallas kernel: in-kernel RNG + triangular matmul + mix
             # (different-but-valid PRNG stream vs jax.random.normal)
             from bndm_tpu.ops.pallas_bluenoise import fused_bluenoise

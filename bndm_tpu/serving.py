@@ -206,7 +206,7 @@ def make_serving_sampler_ddim(
     num_inference_steps,
     *,
     conv_int8: bool = True,
-    static_gn: bool = True,
+    static_gn: bool = False,
     calib_batch: int = 8,
     key: Optional[jax.Array] = None,
     attn_softmax_dtype: Optional[str] = None,
@@ -218,7 +218,11 @@ def make_serving_sampler_ddim(
     (ops/int8.py::calibrate_sampling_ddim). The static-GN tables are keyed
     on the sampler's scan position — DDIM's integer timesteps carry no
     index — so sampling runs with ``pass_step_idx`` (samplers/ddim.py).
-    ``cache_interval``: feature-reuse (block-caching) tier via
+    ``static_gn`` defaults OFF here, unlike the IADB sampler: measured on
+    v5e (r4, PARITY.md §6) the static-GN tier FAILS the DDIM fidelity gate
+    (SSIM 0.9986 / PSNR 32.5 dB < 35 — DDIM's 1000-T trajectories drift
+    more per scan position than IADB's), while int8 + bf16-softmax passes
+    at 40.3 dB. ``cache_interval``: feature-reuse (block-caching) tier via
     :func:`bndm_tpu.samplers.ddim.sample_ddim_cached` (calibration always
     runs the full model). Returns ``sample(x0) -> denoised batch``.
     """

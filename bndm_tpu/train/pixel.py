@@ -48,7 +48,12 @@ class TrainConfig:
     grad_clip: Optional[float] = None
     remap: bool = False
     conditional: bool = False  # superres: concat conditioning (in_channels 6)
-    noise_engine: str = "xla"  # "fused": TPU Pallas RNG+matmul+mix kernel
+    # "auto": the fused TPU Pallas RNG+matmul+mix kernel where eligible
+    # (res-64 fresh noise on a TPU backend; ops/noise.py), xla elsewhere.
+    # Measured train win on v5e: 1111 vs 1049 imgs/s at bs=64 (1.059x),
+    # 1269 vs 1259 at bs=256 (scripts/bench_fused_noise_train.py, r4).
+    # "xla" keeps the cross-backend-reproducible jax.random.normal stream.
+    noise_engine: str = "auto"
     remat: bool = False  # jax.checkpoint the UNet: trade FLOPs for HBM
 
     @property

@@ -108,8 +108,10 @@ def test_ddim_serving_tier():
     params = UNet2D(cfg).init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 3, 16, 16)), jnp.zeros((1,)))
     scheduler = DDIMScheduler(num_train_timesteps=8)
+    # static_gn explicitly on: the mechanism stays tested even though the
+    # DDIM serving default is now off (measured r4 gate fail, PARITY.md §6)
     sample = make_serving_sampler_ddim(cfg, params, scheduler,
-                                       num_inference_steps=4)
+                                       num_inference_steps=4, static_gn=True)
     x0 = jnp.asarray(np.random.default_rng(2).standard_normal((2, 3, 16, 16)),
                      jnp.float32)
     out = sample(x0)
