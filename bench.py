@@ -212,6 +212,20 @@ def main():  # noqa: C901 — linear leg sequence, clearer flat
     _setup_compile_cache()
     B = Bench()
 
+    # BASELINE configs #3-#5 (r5, VERDICT r4 #7): carry the last committed
+    # ddim/superres/latent measurements (scripts/bench_baseline_configs.py
+    # writes BASELINE_LEGS.json) so the driver artifact has the whole story.
+    try:
+        legs_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BASELINE_LEGS.json")
+        with open(legs_path) as f:
+            B.extra["baseline_configs"] = {
+                leg: {"sps": v["best_sps"], "tier": v["best_tier"],
+                      "provenance": v.get("provenance", "")}
+                for leg, v in json.load(f).items()}
+    except Exception:  # noqa: BLE001 — artifact optional
+        pass
+
     use_int8 = os.environ.get("BENCH_INT8", "1") != "0"
     use_gn = os.environ.get("BENCH_GN", "1") != "0"
     use_attn = os.environ.get("BENCH_ATTN", "1") != "0"

@@ -115,7 +115,7 @@ def build_parser():
                         "in scripts/bench_static_gn.py)")
     p.add_argument("--cache_interval", type=cache_interval_type, default=None,
                    help="serving (test only): feature-reuse (block-caching) "
-                        "tier, cf. DeepCache (arXiv:2312.03209) — every Nth "
+                        "tier, cf. block caching (arXiv:2312.03209) — every Nth "
                         "step runs the full UNet, the steps between "
                         "recompute only the outer --cache_depth shell "
                         "around the cached trunk output (fidelity-gated in "

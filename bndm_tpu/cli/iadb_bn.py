@@ -126,7 +126,7 @@ def parse_args(argv=None):
                         "seqs/ frames are skipped in this mode)")
     p.add_argument("--cache_interval", type=cache_interval_type, default=None,
                    help="serving: feature-reuse (block-caching) tier, cf. "
-                        "DeepCache (arXiv:2312.03209) — every Nth step runs "
+                        "block caching (arXiv:2312.03209) — every Nth step runs "
                         "the full UNet, the steps between recompute only the "
                         "outer --cache_depth shell around the cached trunk "
                         "output (samplers.iadb.sample_iadb_cached; fidelity-"

@@ -22,11 +22,16 @@ shape-dependent, not value-dependent, and every fidelity gate runs in-run.
 Env:
   LEGS            comma list of ddim,superres,latent (default all three)
   TIERS           comma list of bf16,serving,cached (default bf16,serving)
-  CACHE_INTERVAL  feature-reuse interval for the cached tier (default 3)
+  CACHE_INTERVAL  feature-reuse interval for the cached tier (per-leg default)
+  CACHE_INTERVALS comma list — r5 knee search: measure the cached tier at
+                  EVERY listed interval in one run (one calibration, one
+                  serving reference), each gated vs the serving output
 Args: [batch steps res] override the per-leg defaults for smoke runs.
 
 One JSON line per leg (plus a summary line), so a timeout still leaves
-completed legs on record.
+completed legs on record. Completed legs are also merged into
+``BASELINE_LEGS.json`` at the repo root (committed artifact; bench.py folds
+it into the driver JSON's extra so BENCH_r{N} carries the whole perf story).
 """
 
 import dataclasses
@@ -39,6 +44,8 @@ sys.path.insert(0, ".")
 from bench import _fetch, _setup_compile_cache  # noqa: E402
 
 GATE_SSIM, GATE_PSNR = 0.99, 35.0
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BASELINE_LEGS.json")
 
 
 def _fidelity(out, ref):
@@ -64,22 +71,54 @@ def _timed(run, x0, x1, total, label):
     return total / dt, dt, out
 
 
+def _gated(r, out, ref):
+    """Attach SSIM/PSNR + gate verdict vs the reference output (if any)."""
+    if ref is not None:
+        s, p = _fidelity(out, ref)
+        r.update(ssim=round(s, 4), psnr_db=round(p, 2),
+                 gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR else "fail")
+    return r
+
+
+def _persist(leg, payload):
+    """Merge this leg's measurements into BASELINE_LEGS.json (committed;
+    bench.py embeds it so the driver artifact carries BASELINE #3-#5)."""
+    try:
+        data = {}
+        if os.path.exists(ARTIFACT):
+            with open(ARTIFACT) as f:
+                data = json.load(f)
+        data[leg] = payload
+        with open(ARTIFACT, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001 — never lose the run over IO
+        print(f"artifact write failed: {e}", flush=True)
+
+
 def _report(leg, metric_suffix, results, batch, steps):
     """One JSON line per leg; tiers gated most-relaxed-first."""
     best = max((r for r in results.values()
                 if r.get("gate", "pass") == "pass"),
                key=lambda r: r["sps"])
+    metric = (f"samples/sec/chip ({metric_suffix}, {steps} steps, "
+              f"bs={batch})")
     print(json.dumps({
-        "metric": f"samples/sec/chip ({metric_suffix}, {steps} steps, "
-                  f"bs={batch})",
+        "metric": metric,
         "value": round(best["sps"], 3),
         "unit": "samples/s/chip",
         "extra": {"leg": leg, "best_tier": best["tier"], "tiers": results},
     }), flush=True)
+    _persist(leg, {
+        "metric": metric, "best_sps": round(best["sps"], 3),
+        "best_tier": best["tier"], "tiers": results,
+        "provenance": os.environ.get(
+            "PROVENANCE", "random-init weights, in-run gates, 1x v5e"),
+    })
     return best
 
 
-def leg_ddim(batch, steps, res, tiers, cache_iv):
+def leg_ddim(batch, steps, res, tiers, cache_ivs):
     """BASELINE #3: DDIM-BN sampling (reference ddim_diffusers.py test
     branch at scripts/sampling/church_res64_test.sh)."""
     import jax
@@ -137,24 +176,22 @@ def leg_ddim(batch, steps, res, tiers, cache_iv):
                      else "fail")
         results["serving"] = r
     if "cached" in tiers:
-        sample_c = make_serving_sampler_ddim(
-            cfg, params, scheduler, steps, conv_int8=s_int8, static_gn=s_gn,
-            attn_softmax_dtype="bfloat16" if s_attn else None,
-            cache_interval=cache_iv)
-        sps, dt, out_c = _timed(sample_c, x0, x1, batch,
-                                f"ddim cached(i={cache_iv})")
         ref = out_serve if out_serve is not None else out_ref
-        r = {"tier": f"serving + cached(i={cache_iv})", "sps": round(sps, 3)}
-        if ref is not None:
-            s, p = _fidelity(out_c, ref)
-            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
-                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
-                     else "fail")
-        results["cached"] = r
+        for iv in cache_ivs:
+            sample_c = make_serving_sampler_ddim(
+                cfg, params, scheduler, steps, conv_int8=s_int8,
+                static_gn=s_gn,
+                attn_softmax_dtype="bfloat16" if s_attn else None,
+                cache_interval=iv)
+            sps, dt, out_c = _timed(sample_c, x0, x1, batch,
+                                    f"ddim cached(i={iv})")
+            results[f"cached_i{iv}"] = _gated(
+                {"tier": f"serving + cached(i={iv})", "sps": round(sps, 3)},
+                out_c, ref)
     return _report("ddim", f"DDIM-BN res{res}", results, batch, steps)
 
 
-def leg_superres(batch, steps, res, tiers, cache_iv):
+def leg_superres(batch, steps, res, tiers, cache_ivs):
     """BASELINE #4: conditional super-res sampling (reference
     iadb_bn.py:566-684 at scripts/sampling/iadb_church_superres_test.sh).
     r4: the cached chain threads x_c, so the feature-reuse tier applies."""
@@ -209,30 +246,22 @@ def leg_superres(batch, steps, res, tiers, cache_iv):
     if "serving" in tiers:
         sps, dt, out_serve = _timed(make_tier(None), x0, x1, batch,
                                     "superres serving")
-        r = {"tier": "int8-static + static-GN + bf16-softmax",
-             "sps": round(sps, 3)}
-        if out_ref is not None:
-            s, p = _fidelity(out_serve, out_ref)
-            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
-                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
-                     else "fail")
-        results["serving"] = r
+        results["serving"] = _gated(
+            {"tier": "int8-static + static-GN + bf16-softmax",
+             "sps": round(sps, 3)}, out_serve, out_ref)
     if "cached" in tiers:
-        sps, dt, out_c = _timed(make_tier(cache_iv), x0, x1, batch,
-                                f"superres cached(i={cache_iv})")
         ref = out_serve if out_serve is not None else out_ref
-        r = {"tier": f"serving + cached(i={cache_iv})", "sps": round(sps, 3)}
-        if ref is not None:
-            s, p = _fidelity(out_c, ref)
-            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
-                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
-                     else "fail")
-        results["cached"] = r
+        for iv in cache_ivs:
+            sps, dt, out_c = _timed(make_tier(iv), x0, x1, batch,
+                                    f"superres cached(i={iv})")
+            results[f"cached_i{iv}"] = _gated(
+                {"tier": f"serving + cached(i={iv})", "sps": round(sps, 3)},
+                out_c, ref)
     return _report("superres", f"IADB super-res conditional res{res}",
                    results, batch, steps)
 
 
-def leg_latent(batch, steps, res, tiers, cache_iv):
+def leg_latent(batch, steps, res, tiers, cache_ivs):
     """BASELINE #5: latent IADB-BN sampling at 512^2 incl. the VAE decode at
     t=0 (reference latent_...:472-574; linear alpha=gamma=t/T :602-604)."""
     import jax
@@ -288,26 +317,18 @@ def leg_latent(batch, steps, res, tiers, cache_iv):
         sps, dt, out_serve = _timed(
             make_tier(True, True, "bfloat16", None), x0, x1, batch,
             "latent serving (+VAE decode)")
-        r = {"tier": "int8-static + static-GN + bf16-softmax",
-             "sps": round(sps, 3)}
-        if out_ref is not None:
-            s, p = _fidelity(out_serve, out_ref)
-            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
-                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
-                     else "fail")
-        results["serving"] = r
+        results["serving"] = _gated(
+            {"tier": "int8-static + static-GN + bf16-softmax",
+             "sps": round(sps, 3)}, out_serve, out_ref)
     if "cached" in tiers:
-        sps, dt, out_c = _timed(
-            make_tier(True, True, "bfloat16", cache_iv), x0, x1, batch,
-            f"latent cached(i={cache_iv}) (+VAE decode)")
         ref = out_serve if out_serve is not None else out_ref
-        r = {"tier": f"serving + cached(i={cache_iv})", "sps": round(sps, 3)}
-        if ref is not None:
-            s, p = _fidelity(out_c, ref)
-            r.update(ssim=round(s, 4), psnr_db=round(p, 2),
-                     gate="pass" if s >= GATE_SSIM and p >= GATE_PSNR
-                     else "fail")
-        results["cached"] = r
+        for iv in cache_ivs:
+            sps, dt, out_c = _timed(
+                make_tier(True, True, "bfloat16", iv), x0, x1, batch,
+                f"latent cached(i={iv}) (+VAE decode)")
+            results[f"cached_i{iv}"] = _gated(
+                {"tier": f"serving + cached(i={iv})", "sps": round(sps, 3)},
+                out_c, ref)
     return _report("latent", f"latent IADB-BN {res}^2 incl. VAE decode",
                    results, batch, steps)
 
@@ -331,16 +352,20 @@ def main():
     legs = os.environ.get("LEGS", "ddim,superres,latent").split(",")
     tiers = os.environ.get("TIERS", "bf16,serving").split(",")
     env_iv = os.environ.get("CACHE_INTERVAL")
+    env_ivs = os.environ.get("CACHE_INTERVALS")
     override = [int(a) for a in sys.argv[1:]]
     summary = {}
     for leg in legs:
         leg = leg.strip()
         batch, steps, res = override or DEFAULTS[leg]
-        cache_iv = int(env_iv) if env_iv else DEFAULT_IV[leg]
+        if env_ivs:
+            cache_ivs = [int(v) for v in env_ivs.split(",")]
+        else:
+            cache_ivs = [int(env_iv) if env_iv else DEFAULT_IV[leg]]
         fn = {"ddim": leg_ddim, "superres": leg_superres,
               "latent": leg_latent}[leg]
         try:
-            best = fn(batch, steps, res, tiers, cache_iv)
+            best = fn(batch, steps, res, tiers, cache_ivs)
             summary[leg] = {"sps": best["sps"], "tier": best["tier"]}
         except Exception as e:  # noqa: BLE001 — later legs still run
             print(f"{leg} leg failed: {e}", flush=True)
