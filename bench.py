@@ -242,6 +242,24 @@ def main():  # noqa: C901 — linear leg sequence, clearer flat
     params = m_bf16.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 3, SPATIAL, SPATIAL), jnp.float32),
         jnp.zeros((1,)))
+    # BENCH_PARAMS=<train_out_dir>: run the whole ladder (and its in-run
+    # gates) on TRAINED weights + the learned (tau, s, e) gamma params (r5 —
+    # weights/gamma are runtime inputs, so programs and compile-cache entries
+    # are identical to the random-init run; scripts/bench_trained_gates.py is
+    # the committed-artifact variant). Default stays random-init: throughput
+    # is shape-dependent, and the driver bench must not depend on artifacts.
+    if os.environ.get("BENCH_PARAMS"):
+        from bndm_tpu.cli.common import load_params
+
+        tdir = os.environ["BENCH_PARAMS"]
+        loaded = load_params(os.path.join(tdir, "model.npz"))
+        params = {"params": loaded.get("params", loaded)}
+        sp = np.loadtxt(os.path.join(tdir, "scheduler_params.txt"),
+                        dtype=np.float32).reshape(3)
+        GAMMA["gamma_params"] = tuple(float(v) for v in sp)
+        B.extra["weights_provenance"] = f"trained: {tdir}"
+        print(f"using trained weights from {tdir}, "
+              f"(tau,s,e)={GAMMA['gamma_params']}", flush=True)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 3, SPATIAL, SPATIAL),
                            jnp.float32)
     x1 = jax.random.normal(jax.random.PRNGKey(2), x0.shape, jnp.float32)

@@ -336,6 +336,10 @@ def run_test(opt):
     else:
         sp = np.array([opt.scheduler_param, opt.scheduler_param_s, opt.scheduler_param_e],
                       np.float32)
+    # gamma_params is passed to the samplers as a 3-float TUPLE, not an
+    # array: the jit pytree structure is part of the persistent-compile-cache
+    # key, and bench.py's programs use the tuple form — an array leaf here
+    # would force a fresh 113M-UNet compile for the gallery run
 
     if opt.static_gn and opt.scheduler_alpha != "linear":
         raise SystemExit("--static_gn requires the linear alpha schedule "
@@ -362,7 +366,7 @@ def run_test(opt):
         quant = calibrate_sampling(
             m_cal, params, x_cal, opt.nb_steps,
             scheduler_alpha=opt.scheduler_alpha, alpha_param=opt.scheduler_param,
-            scheduler_gamma=opt.scheduler_gamma, gamma_params=jnp.asarray(sp),
+            scheduler_gamma=opt.scheduler_gamma, gamma_params=tuple(float(v) for v in sp),
             two_head=tcfg.two_head)
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
@@ -389,6 +393,14 @@ def run_test(opt):
     # defined ONCE (not per batch): these closures are static jit args of the
     # cached sampler, and fresh function objects would retrace every batch
     caching = opt.cache_interval is not None and opt.cache_interval > 1
+
+    # gallery mode writes every sample: encode PNGs on a background thread so
+    # the 1-core host's PIL encode overlaps the next batch's device sampling
+    # (reference workload total_num=30000, iadb_bn.py:719-816; VERDICT r4 #2)
+    from bndm_tpu.cli.common import AsyncImageWriter
+
+    writer = AsyncImageWriter() if opt.save_all_samples else None
+    wall_t0 = time.time()
 
     def apply_full(p, x, t):
         return model.apply(p, x, t, return_deep=True)
@@ -452,7 +464,7 @@ def run_test(opt):
                     nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
                     alpha_param=opt.scheduler_param,
                     scheduler_gamma=opt.scheduler_gamma,
-                    gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                    gamma_params=tuple(float(v) for v in sp), two_head=tcfg.two_head,
                     apply_shallow_fn=apply_shallow if caching else None,
                     cache_interval=opt.cache_interval if caching else None,
                 )
@@ -468,14 +480,14 @@ def run_test(opt):
                     scheduler_alpha=opt.scheduler_alpha,
                     alpha_param=opt.scheduler_param,
                     scheduler_gamma=opt.scheduler_gamma,
-                    gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                    gamma_params=tuple(float(v) for v in sp), two_head=tcfg.two_head,
                 )
                 return jax.block_until_ready(s), None
             s, f = sample_iadb(
                 model.apply, params, x0,
                 nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
                 alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
-                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                gamma_params=tuple(float(v) for v in sp), two_head=tcfg.two_head,
                 collect_frames=True,
             )
             return jax.block_until_ready(s), f
@@ -491,8 +503,11 @@ def run_test(opt):
         times.append(time.time() - t0)
 
         to_save = np.asarray(sample) if opt.save_all_samples else np.asarray(sample[:1])
-        save_image_grid(to_save,
-                        os.path.join(out_dir, fname, "images", f"{i:05d}_{{0}}.png"))
+        img_path = os.path.join(out_dir, fname, "images", f"{i:05d}_{{0}}.png")
+        if writer is not None:
+            writer.submit(to_save, img_path)
+        else:
+            save_image_grid(to_save, img_path)
         if frames is not None:
             for j, fr in enumerate(np.asarray(frames)):
                 save_image_grid(fr, os.path.join(
@@ -501,6 +516,17 @@ def run_test(opt):
         cnt += bs
         print(f"batch {i}: {bs} samples in {times[-1]:.2f}s "
               f"({bs/times[-1]:.1f} samples/s)")
+    if writer is not None:
+        t_drain = time.time()
+        written = writer.close()
+        wall = time.time() - wall_t0
+        print(f"gallery: {written} images written "
+              f"(final encode drain {time.time() - t_drain:.1f}s)")
+        if written:
+            # end-to-end number incl. host fetch + PNG encode + disk
+            # (device-only throughput is the per-batch prints above)
+            print(f"end-to-end gallery throughput incl. I/O: "
+                  f"{written / wall:.2f} samples/s over {wall:.1f}s wall")
     if times:
         print("mean batch sampling time (excl. first/compile):",
               np.mean(times[1:]) if len(times) > 1 else times[0])
@@ -569,7 +595,7 @@ def run_superres_test(opt):
         quant = calibrate_sampling(
             m_cal, params, x_cal, opt.nb_steps,
             scheduler_alpha=opt.scheduler_alpha, alpha_param=opt.scheduler_param,
-            scheduler_gamma=opt.scheduler_gamma, gamma_params=jnp.asarray(sp),
+            scheduler_gamma=opt.scheduler_gamma, gamma_params=tuple(float(v) for v in sp),
             two_head=tcfg.two_head, x_c=x_c_cal)
         params = {"params": params.get("params", params), "quant": quant}
         print(f"serving calibration: {time.time()-t0:.1f}s "
@@ -605,14 +631,14 @@ def run_superres_test(opt):
                 scheduler_alpha=opt.scheduler_alpha,
                 alpha_param=opt.scheduler_param,
                 scheduler_gamma=opt.scheduler_gamma,
-                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                gamma_params=tuple(float(v) for v in sp), two_head=tcfg.two_head,
                 x_c=x_c)
         else:
             sample, frames = sample_iadb(
                 model.apply, params, x0,
                 nb_steps=opt.nb_steps, scheduler_alpha=opt.scheduler_alpha,
                 alpha_param=opt.scheduler_param, scheduler_gamma=opt.scheduler_gamma,
-                gamma_params=jnp.asarray(sp), two_head=tcfg.two_head,
+                gamma_params=tuple(float(v) for v in sp), two_head=tcfg.two_head,
                 x_c=x_c, collect_frames=True,
             )
         s01 = jnp.clip((sample + 1) / 2, 0, 1)

@@ -41,6 +41,52 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _box_smooth(a, window):
+    """Truncated box filter along axis 0 of a (T, G) table: each row becomes
+    the mean of the rows within +-window//2, with the window clipped at the
+    ends (so every output is a mean of real entries, no padding bias)."""
+    if window <= 1:
+        return a
+    t = a.shape[0]
+    c = np.cumsum(np.concatenate(
+        [np.zeros((1,) + a.shape[1:], a.dtype), np.asarray(a)]), axis=0)
+    half = window // 2
+    lo = np.clip(np.arange(t) - half, 0, t)
+    hi = np.clip(np.arange(t) + half + 1, 0, t)
+    return ((c[hi] - c[lo]) / (hi - lo)[:, None]).astype(a.dtype)
+
+
+def smooth_gn_tables(quant, window):
+    """Neighbor-window smoothing of the calibrated per-(site, step) GroupNorm
+    statistics (the 'gn_mean'/'gn_var' tables) along the step axis.
+
+    Why: the static-GN tables are batch-mean statistics recorded on ONE
+    calibration trajectory (ops/int8.py::calibrate_sampling*). For IADB's
+    250 float-alpha steps they transfer; for DDIM's 1000-T integer-timestep
+    trajectories the per-position estimates drift more (measured r4: the
+    raw tables FAIL the DDIM fidelity gate at PSNR 32.5 dB — PARITY.md §6).
+    Adjacent steps see nearly the same activation distribution, so a small
+    moving average trades per-step calibration noise for a slight lag —
+    the r5 rescue attempt (VERDICT r4 #4). Purely a host-side transform of
+    the quant tree: table VALUES are runtime inputs, so the serving program
+    does not retrace/recompile across windows.
+
+    ``window <= 1`` returns the tree unchanged. int8 amax scalars and any
+    other leaves are untouched.
+    """
+    if window <= 1:
+        return quant
+
+    def visit(path, leaf):
+        name = getattr(path[-1], "key", None) if path else None
+        if name in ("gn_mean", "gn_var") and np.ndim(leaf) == 2:
+            return _box_smooth(np.asarray(leaf), window)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, quant)
 
 
 class CalGroupNorm(nn.Module):

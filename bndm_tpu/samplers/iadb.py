@@ -116,7 +116,8 @@ def sample_iadb(
 
 
 def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
-                  cache_interval, alpha, gamma, two_head, x_c=None):
+                  cache_interval, alpha, gamma, two_head, x_c=None,
+                  carry_dtype=None):
     """The feature-reuse reverse chain: scan over macro groups of
     ``cache_interval`` steps — one full forward (which also returns the
     trunk output) then ``cache_interval - 1`` shallow forwards reusing it —
@@ -129,12 +130,22 @@ def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
     iadb_bn.py:406) — the model sees ``concat([x, x_c], 1)`` on full AND
     shallow forwards (the conditioning enters through the recomputed shell;
     the cached trunk already saw it on the group's full step).
+    ``carry_dtype``: keep the sample buffer in this dtype between steps
+    (e.g. bf16 — halves the carry's HBM bytes in the bandwidth-bound shell
+    glue fusion the r4 roofline audit flagged at ~4.7 ms/shallow step; the
+    step arithmetic itself stays fp32, only the stored x is rounded).
+    Fidelity-gated in scripts/bench_cached_carry.py; None = fp32 (default,
+    trace-identical to r4).
     """
+    out_dtype = x.dtype
+    if carry_dtype is not None:
+        x = x.astype(carry_dtype)
 
     def one_step(x, t, d):
         a_s, a_e = alpha(t + 1.0), alpha(t)
         g_s, g_e = gamma(t + 1.0), gamma(t)
-        return iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
+        y = iadb_step(x, d, a_s, a_e, g_s, g_e, two_head=two_head)
+        return y.astype(carry_dtype) if carry_dtype is not None else y
 
     def tt(x, t):
         return jnp.broadcast_to(alpha(t + 1.0), (x.shape[0],))
@@ -157,7 +168,7 @@ def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
     x, _ = jax.lax.scan(body, x, ts0)
     if rem:  # final t = rem-1 .. 0 (fresh full forward, then shallow)
         x = group(x, jnp.float32(rem - 1), rem)
-    return x
+    return x.astype(out_dtype) if carry_dtype is not None else x
 
 
 @functools.partial(
@@ -165,6 +176,7 @@ def _cached_chain(apply_full, apply_shallow, params, x, ts0, rem, *,
     static_argnames=(
         "apply_full", "apply_shallow", "nb_steps", "cache_interval",
         "scheduler_alpha", "alpha_param", "scheduler_gamma", "two_head",
+        "carry_dtype",
     ),
 )
 def sample_iadb_cached(
@@ -181,6 +193,7 @@ def sample_iadb_cached(
     gamma_params=(1.0, 0.0, 3.0),
     two_head=False,
     x_c: Optional[jax.Array] = None,
+    carry_dtype=None,
 ):
     """Feature-reuse (block-caching) serving sampler, cf. "Cache Me if You
     Can" (arXiv:2312.03209) / DeepCache — TPU-first: the cache point and
@@ -212,7 +225,7 @@ def sample_iadb_cached(
     return _cached_chain(
         apply_full, apply_shallow, params, x0, ts0, rem,
         cache_interval=cache_interval, alpha=alpha, gamma=gamma,
-        two_head=two_head, x_c=x_c)
+        two_head=two_head, x_c=x_c, carry_dtype=carry_dtype)
 
 
 @functools.partial(
@@ -220,6 +233,7 @@ def sample_iadb_cached(
     static_argnames=(
         "apply_fn", "microbatch", "nb_steps", "scheduler_alpha", "alpha_param",
         "scheduler_gamma", "two_head", "apply_shallow_fn", "cache_interval",
+        "carry_dtype",
     ),
     donate_argnums=(2,),
 )
@@ -237,6 +251,7 @@ def sample_iadb_microbatched(
     two_head=False,
     apply_shallow_fn=None,
     cache_interval=None,
+    carry_dtype=None,
 ):
     """Gallery-scale serving: one compiled program that denoises an effective
     batch of ``B = K * microbatch`` samples as a scan over K microbatches,
@@ -283,7 +298,7 @@ def sample_iadb_microbatched(
             return _cached_chain(
                 apply_fn, apply_shallow_fn, params, x, ts0, rem,
                 cache_interval=cache_interval, alpha=alpha, gamma=gamma,
-                two_head=two_head), None
+                two_head=two_head, carry_dtype=carry_dtype), None
 
         def body(x, t):
             a_s, a_e = alpha(t + 1.0), alpha(t)

@@ -211,6 +211,7 @@ def make_serving_sampler_ddim(
     key: Optional[jax.Array] = None,
     attn_softmax_dtype: Optional[str] = None,
     cache_interval: Optional[int] = None,
+    gn_smooth_window: Optional[int] = None,
 ):
     """DDIM-baseline counterpart of :func:`make_serving_sampler`.
 
@@ -224,9 +225,14 @@ def make_serving_sampler_ddim(
     more per scan position than IADB's), while int8 + bf16-softmax passes
     at 40.3 dB. ``cache_interval``: feature-reuse (block-caching) tier via
     :func:`bndm_tpu.samplers.ddim.sample_ddim_cached` (calibration always
-    runs the full model). Returns ``sample(x0) -> denoised batch``.
+    runs the full model). ``gn_smooth_window``: with ``static_gn``, smooth
+    the calibrated per-(site, step) GN tables with a truncated box filter of
+    this width along the step axis (ops/static_norm.py::smooth_gn_tables —
+    the r5 rescue for DDIM's per-position drift; gated in
+    scripts/bench_ddim_gn_rescue.py). Returns ``sample(x0) -> batch``.
     """
     from bndm_tpu.ops.int8 import calibrate_sampling_ddim
+    from bndm_tpu.ops.static_norm import smooth_gn_tables
     from bndm_tpu.samplers.ddim import sample_ddim, sample_ddim_cached
 
     params = params.get("params", params)
@@ -259,6 +265,8 @@ def make_serving_sampler_ddim(
                 jnp.float32)
             quant = calibrate_sampling_ddim(
                 m_cal, params, x_cal, scheduler, num_inference_steps)
+            if static_gn and gn_smooth_window:
+                quant = smooth_gn_tables(quant, gn_smooth_window)
             p_serve = {"params": params, "quant": quant}
         if caching:
             return sample_ddim_cached(

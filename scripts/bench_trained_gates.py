@@ -1,0 +1,139 @@
+"""Re-validate every serving/cached fidelity gate on TRAINED weights (r5,
+VERDICT r4 #3: every committed gate so far had random-init provenance; the
+feature-reuse tier skips weight-dependent trunk drift, so the knee defaults
+must be confirmed on non-random weights).
+
+Usage: python scripts/bench_trained_gates.py <train_out_dir>
+  <train_out_dir>: a bndm_tpu.cli.iadb_bn training output folder containing
+  model.npz (the trained 113.7M res-64 BNDM UNet) and scheduler_params.txt
+  (the learned clamped (tau, s, e) gamma parameters).
+
+Measures, at the headline config (bs=BATCH, STEPS steps, res RES):
+  bf16 parity   — reference output for the serving gate
+  serving stack — int8-static + static-GN + bf16-softmax, gate vs bf16
+  cached ladder — CACHE_INTERVALS (default 8,12,16,25) on the serving
+                  stack, each gated vs the serving output on identical x0
+
+Every program here is HLO-identical to bench.py's legs (weights are runtime
+inputs), so a warm compile cache covers the whole run. Writes
+TRAINED_GATES.json at the repo root (committed artifact; PARITY.md cites it).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import _fetch, _setup_compile_cache  # noqa: E402
+
+BATCH = int(os.environ.get("BATCH", "500"))
+STEPS = int(os.environ.get("STEPS", "250"))
+RES = int(os.environ.get("RES", "64"))
+IVS = [int(v) for v in os.environ.get("CACHE_INTERVALS", "8,12,16,25").split(",")]
+GATE_SSIM, GATE_PSNR = 0.99, 35.0
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "TRAINED_GATES.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bndm_tpu.cli.common import load_params
+    from bndm_tpu.models.unet2d import unet_config_for_res
+    from bndm_tpu.ops.int8 import calibrate_sampling
+    from bndm_tpu.samplers.iadb import sample_iadb, sample_iadb_cached
+    from bndm_tpu.serving import serving_model_pair
+    from bndm_tpu.utils.metrics import psnr, ssim
+
+    out_dir = sys.argv[1]
+    params = load_params(os.path.join(out_dir, "model.npz"))
+    params = params.get("params", params)
+    sp = np.loadtxt(os.path.join(out_dir, "scheduler_params.txt"),
+                    dtype=np.float32).reshape(3)
+    print(f"trained weights: {out_dir}  learned (tau,s,e)={sp.tolist()}",
+          flush=True)
+    # tuple-of-floats, NOT an array: bench.py's GAMMA passes gamma_params as a
+    # 3-float tuple, and the jit pytree structure is part of the program key —
+    # an array leaf here would miss the warm compile cache for every leg
+    gamma = dict(scheduler_gamma="sigmoid",
+                 gamma_params=tuple(float(v) for v in sp), two_head=True)
+
+    _setup_compile_cache()
+    cfg = unet_config_for_res(RES, in_channels=3, out_channels=6,
+                              dtype="bfloat16", norm_dtype="bfloat16")
+    m_cal, m_serve = serving_model_pair(
+        cfg, conv_int8=True, int8_static=True, static_gn=True,
+        gn_steps=STEPS, relax_kw={"attn_softmax_dtype": "bfloat16"})
+    _, m_bf16 = serving_model_pair(cfg)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 3, RES, RES),
+                           jnp.float32)
+
+    def fidelity(out, ref):
+        a = jnp.clip((ref + 1) / 2, 0, 1)
+        b = jnp.clip((out + 1) / 2, 0, 1)
+        return float(jnp.mean(ssim(b, a))), float(jnp.mean(psnr(b, a)))
+
+    def gated(label, out, ref, sps):
+        s, p = fidelity(out, ref)
+        r = {"sps": round(sps, 3), "ssim": round(s, 4), "psnr_db": round(p, 2),
+             "gate": "pass" if s >= GATE_SSIM and p >= GATE_PSNR else "fail"}
+        print(json.dumps({label: r}), flush=True)
+        return r
+
+    def timed(run):
+        t0 = time.perf_counter()
+        out = run()
+        _fetch(out)
+        warm_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = run()
+        _fetch(out)
+        return out, BATCH / (time.perf_counter() - t0), warm_dt
+
+    results = {"provenance": {
+        "weights": os.path.abspath(out_dir),
+        "learned_tau_s_e": [round(float(v), 5) for v in sp],
+        "config": f"res{RES} bs={BATCH} {STEPS} steps, 1x v5e"}}
+
+    out_bf16, sps, _ = timed(lambda: sample_iadb(
+        m_bf16.apply, {"params": params}, x0, nb_steps=STEPS, **gamma)[0])
+    results["bf16"] = {"sps": round(sps, 3)}
+    print(json.dumps({"bf16": results["bf16"]}), flush=True)
+
+    t0 = time.perf_counter()
+    quant = calibrate_sampling(m_cal, {"params": params}, x0[:8], STEPS,
+                               **gamma)
+    p_serve = {"params": params, "quant": quant}
+    print(f"calibration: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    out_serve, sps, _ = timed(lambda: sample_iadb(
+        m_serve.apply, p_serve, x0, nb_steps=STEPS, **gamma)[0])
+    results["serving"] = gated("serving vs bf16", out_serve, out_bf16, sps)
+
+    def apply_full(p, x, t):
+        return m_serve.apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return m_serve.apply(p, x, t, deep_feature=deep)
+
+    for iv in IVS:
+        out_c, sps, _ = timed(lambda: sample_iadb_cached(
+            apply_full, apply_shallow, p_serve, x0, nb_steps=STEPS,
+            cache_interval=iv, **gamma))
+        results[f"cached_i{iv}"] = gated(f"cached(i={iv}) vs serving",
+                                         out_c, out_serve, sps)
+
+    with open(ARTIFACT, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({"summary": "trained-weight gates", **{
+        k: v.get("gate") for k, v in results.items()
+        if isinstance(v, dict) and "gate" in v}}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -184,3 +184,24 @@ def test_cache_interval_serving_path(workdir):
                  "--cache_interval=2", "--conv_int8", "--int8_mode=static",
                  "--static_gn"])
     assert len(list(cimg.glob("*.png"))) > 0
+
+
+def test_async_image_writer(tmp_path):
+    """AsyncImageWriter (r5 gallery I/O overlap): writes all submitted
+    batches, counts images, and surfaces encode errors on close()."""
+    import pytest
+
+    from bndm_tpu.cli.common import AsyncImageWriter
+
+    w = AsyncImageWriter(max_queue=2)
+    a = np.zeros((3, 3, 8, 8), np.float32)
+    w.submit(a, str(tmp_path / "b0_{0}.png"))
+    w.submit(a, str(tmp_path / "b1_{0}.png"))
+    assert w.close() == 6
+    assert sorted(p.name for p in tmp_path.glob("*.png")) == [
+        f"b{b}_{i}.png" for b in range(2) for i in range(3)]
+
+    w2 = AsyncImageWriter()
+    w2.submit(a, str(tmp_path / "nodir" / "deeper" / "x_{0}.png"))
+    with pytest.raises(Exception):
+        w2.close()

@@ -169,3 +169,20 @@ def test_latent_cache_roundtrip(tmp_path):
     np.testing.assert_allclose(ds[2], lats[2].astype(np.float32))
     batches = list(ds.batches(2, shuffle=False, seed=0))
     assert len(batches) == 3 and batches[0].shape == (2, 4, 8, 8)
+
+
+def test_procedural_folder_learnable_structure(tmp_path):
+    """make_procedural_folder (r5): images are spatially correlated (unlike
+    the uniform-noise synthetic folder) and load through ImageFolderDataset."""
+    from bndm_tpu.data.imagefolder import (ImageFolderDataset,
+                                           make_procedural_folder)
+
+    root = make_procedural_folder(str(tmp_path / "proc"), n=4, res=32, seed=1)
+    ds = ImageFolderDataset(root, 32, random_flip=False)
+    assert len(ds) == 4
+    img = np.asarray(ds.get(0))
+    assert img.shape[-2:] == (32, 32)
+    # neighbor-pixel correlation of a smooth field is high; uniform noise ~0
+    a = img.reshape(-1, 32, 32)
+    corr = np.corrcoef(a[:, :, :-1].ravel(), a[:, :, 1:].ravel())[0, 1]
+    assert corr > 0.5, corr

@@ -366,3 +366,49 @@ def test_ddim_serving_cache_interval(ddim_params):
     out = sample(x0)
     assert out.shape == x0.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cached_bf16_carry_close_to_fp32(tiny_params):
+    """carry_dtype="bfloat16" (r5 serving experiment): the sample buffer is
+    stored bf16 between steps while the update arithmetic stays fp32 — the
+    result must track the fp32 carry within bf16 rounding accumulation, and
+    carry_dtype=None must remain the exact default path."""
+    def apply_full(p, x, t):
+        return UNet2D(TINY).apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return UNet2D(TINY).apply(p, x, t, deep_feature=deep)
+
+    x0 = _x((2, 3, 16, 16), 11)
+    kw = dict(nb_steps=8, cache_interval=3, two_head=True)
+    ref = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0, **kw)
+    default = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0,
+                                 carry_dtype=None, **kw)
+    np.testing.assert_array_equal(np.asarray(default), np.asarray(ref))
+    bf16 = sample_iadb_cached(apply_full, apply_shallow, tiny_params, x0,
+                              carry_dtype="bfloat16", **kw)
+    assert bf16.dtype == x0.dtype  # cast back to the caller's dtype
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_microbatched_bf16_carry(tiny_params):
+    """The microbatched gallery path threads carry_dtype into every
+    microbatch's cached chain."""
+    from bndm_tpu.samplers.iadb import sample_iadb_microbatched
+
+    def apply_full(p, x, t):
+        return UNet2D(TINY).apply(p, x, t, return_deep=True)
+
+    def apply_shallow(p, x, t, deep):
+        return UNet2D(TINY).apply(p, x, t, deep_feature=deep)
+
+    x0 = _x((4, 3, 16, 16), 12)
+    kw = dict(microbatch=2, nb_steps=6, cache_interval=3, two_head=True,
+              apply_shallow_fn=apply_shallow)
+    ref = sample_iadb_microbatched(apply_full, tiny_params, jnp.array(x0),
+                                   **kw)
+    bf16 = sample_iadb_microbatched(apply_full, tiny_params, jnp.array(x0),
+                                    carry_dtype="bfloat16", **kw)
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(ref),
+                               rtol=0.05, atol=0.05)

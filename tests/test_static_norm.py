@@ -142,3 +142,35 @@ def test_ddim_calibrate_then_static_sampling():
         scheduler=scheduler, num_inference_steps=steps, pass_step_idx=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_smooth_gn_tables():
+    """smooth_gn_tables (r5 DDIM rescue): truncated box filter along the
+    step axis of gn_mean/gn_var only; other leaves untouched; window<=1 is
+    identity; interior rows equal the exact neighborhood mean."""
+    from bndm_tpu.ops.static_norm import smooth_gn_tables
+
+    t, g = 6, 2
+    mean = np.arange(t * g, dtype=np.float32).reshape(t, g)
+    var = np.ones((t, g), np.float32)
+    var[3] = 7.0
+    amax = np.float32(3.5)
+    quant = {"site": {"gn_mean": mean.copy(), "gn_var": var.copy(),
+                      "act_amax": amax}}
+
+    same = smooth_gn_tables(quant, 1)
+    np.testing.assert_array_equal(same["site"]["gn_mean"], mean)
+
+    sm = smooth_gn_tables(quant, 3)
+    # interior row = mean of rows i-1..i+1; linear ramp is invariant
+    np.testing.assert_allclose(sm["site"]["gn_mean"][1:-1], mean[1:-1],
+                               rtol=1e-6)
+    # edges average the two available rows
+    np.testing.assert_allclose(sm["site"]["gn_mean"][0],
+                               mean[:2].mean(axis=0), rtol=1e-6)
+    # the var spike spreads over its 3-row neighborhood
+    np.testing.assert_allclose(sm["site"]["gn_var"][3], (1 + 7 + 1) / 3.0,
+                               rtol=1e-6)
+    assert sm["site"]["act_amax"] == amax
+    # input tree not mutated
+    np.testing.assert_array_equal(quant["site"]["gn_var"], var)
