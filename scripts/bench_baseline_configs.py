@@ -338,11 +338,11 @@ DEFAULTS = {  # (batch, steps, res) per reference sampling script
     "superres": (200, 250, 128),
     "latent": (50, 250, 512),
 }
-# per-leg feature-reuse interval when CACHE_INTERVAL is unset: DDIM passes
-# its gate at i=5 with 2.3 dB margin (i=12 passes by only 0.01 dB — too
-# tight to default); the latent/pixel knee measurements sit at much higher
-# PSNR so i=5 is conservative there too
-DEFAULT_IV = {"ddim": 5, "superres": 5, "latent": 5}
+# per-leg feature-reuse interval when CACHE_INTERVAL is unset — the r5
+# measured knees (BASELINE_LEGS.json): DDIM i=8 (37.5 dB, 2.5 dB margin;
+# i=10 FAILS at 34.08 so the knee is sharp), superres/latent i=12 (the
+# ladder saturates there with >40 dB margin)
+DEFAULT_IV = {"ddim": 8, "superres": 12, "latent": 12}
 
 
 def main():
