@@ -29,6 +29,8 @@ def __getattr__(name):
                                      "sample_iadb_microbatched"),
         "sample_iadb_cached": ("bndm_tpu.samplers.iadb", "sample_iadb_cached"),
         "make_serving_sampler": ("bndm_tpu.serving", "make_serving_sampler"),
+        "make_validated_serving_sampler": ("bndm_tpu.serving",
+                                           "make_validated_serving_sampler"),
         "serving_model_pair": ("bndm_tpu.serving", "serving_model_pair"),
         "make_serving_sampler_ddim": ("bndm_tpu.serving",
                                       "make_serving_sampler_ddim"),

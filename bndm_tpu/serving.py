@@ -20,6 +20,14 @@ constants — full-batch, or scanning microbatches when ``microbatch`` is set.
 The CLIs (--conv_int8/--static_gn/--microbatch) expose the same path; this
 is the library surface.
 
+The tier gates are WEIGHT-DEPENDENT: all of the numbers above were measured
+on random-init weights, and the r5 trained-weight re-validation
+(TRAINED_GATES.json) showed static-GN failing hard on a real checkpoint
+(SSIM 0.9697 / 30.3 dB) while int8 + bf16-softmax + cached(i=8) passes at
+31.8 samples/s (1.93x bf16). For deployment on weights you did not gate
+yourself, use :func:`make_validated_serving_sampler` — it probes the ladder
+and serves the fastest tier that passes on *your* weights.
+
 Reference counterpart: the test branch of iadb_bn.py (:686-820) — eager
 per-step torch with none of these tiers.
 """
@@ -280,3 +288,102 @@ def make_serving_sampler_ddim(
         return out
 
     return sample
+
+
+def make_validated_serving_sampler(
+    cfg,
+    params,
+    nb_steps,
+    res,
+    *,
+    probe_batch: int = 8,
+    gate_ssim: float = 0.99,
+    gate_psnr_db: float = 35.0,
+    cache_interval: int = 12,
+    microbatch: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    verbose: bool = True,
+    _candidates=None,
+    **sched_kw,
+):
+    """Fidelity-validated serving: probe the tier ladder, serve the fastest
+    tier that PASSES on *these* weights.
+
+    Why this exists: the serving relaxations are weight-dependent. Every tier
+    passes its gate on random-init weights (PARITY.md §6), but on the r5
+    TRAINED 113M checkpoint the static-GN tier fails hard
+    (TRAINED_GATES.json: full stack SSIM 0.9697 / PSNR 30.3 dB vs the 0.99/35
+    gate — trained activations vary per-sample, so calibrated batch-mean GN
+    statistics mis-normalize, the same structural failure the DDIM leg
+    measured on random init). A fixed default is therefore wrong in one
+    direction or the other; the production-safe API is calibrate → probe →
+    fall back.
+
+    The ladder, fastest-first (each probed end-to-end on ``probe_batch``
+    samples against the bf16 parity path on identical x0):
+
+      1. int8-static + static-GN + bf16-softmax + cached(``cache_interval``)
+      2. int8-static + bf16-softmax + cached(``cache_interval``)
+      3. int8-static + bf16-softmax + cached(max(2, interval // 2))
+      4. bf16 + cached(max(2, interval // 2))
+      5. bf16 uncached — the parity path itself, never rejected
+
+    ``res`` is the spatial size the probe (and serving) runs at — the UNet
+    is resolution-agnostic, so the config does not carry it.
+    Probing costs one bf16 reference run + one run per rejected tier at
+    ``probe_batch`` (plus their compiles); serving then runs at the chosen
+    tier. ``sched_kw`` is forwarded to :func:`make_serving_sampler`
+    (scheduler_alpha/gamma, two_head, x_c, ...). Returns ``(sample,
+    report)`` where report lists each probed tier with its SSIM/PSNR and
+    the decision. Reference counterpart: none — the torch reference serves
+    the exact eager path only (iadb_bn.py:686-820).
+    """
+    from bndm_tpu.utils.metrics import psnr, ssim
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_probe, k_cal = jax.random.split(key)
+    half = max(2, cache_interval // 2)
+    candidates = _candidates if _candidates is not None else [
+        ("int8+staticGN+bf16sm+cached(i=%d)" % cache_interval,
+         dict(conv_int8=True, static_gn=True, attn_softmax_dtype="bfloat16",
+              cache_interval=cache_interval)),
+        ("int8+bf16sm+cached(i=%d)" % cache_interval,
+         dict(conv_int8=True, static_gn=False,
+              attn_softmax_dtype="bfloat16", cache_interval=cache_interval)),
+        ("int8+bf16sm+cached(i=%d)" % half,
+         dict(conv_int8=True, static_gn=False,
+              attn_softmax_dtype="bfloat16", cache_interval=half)),
+        ("bf16+cached(i=%d)" % half,
+         dict(conv_int8=False, static_gn=False, cache_interval=half)),
+    ]
+
+    shape = (probe_batch, cfg.in_channels, res, res)
+    x_probe = jax.random.normal(k_probe, shape, jnp.float32)
+
+    def build(kw):
+        return make_serving_sampler(
+            cfg, params, nb_steps, key=k_cal, microbatch=microbatch,
+            **kw, **sched_kw)
+
+    sample_bf16 = build(dict(conv_int8=False, static_gn=False))
+    ref = jnp.clip((sample_bf16(x_probe) + 1) / 2, 0, 1)
+
+    report = []
+    for name, kw in candidates:
+        sample = build(kw)
+        out = jnp.clip((sample(x_probe) + 1) / 2, 0, 1)
+        s = float(jnp.mean(ssim(out, ref)))
+        p = float(jnp.mean(psnr(out, ref)))
+        ok = s >= gate_ssim and p >= gate_psnr_db
+        report.append({"tier": name, "ssim": round(s, 4),
+                       "psnr_db": round(p, 2),
+                       "gate": "pass" if ok else "fail"})
+        if verbose:
+            print(f"serving probe {name}: SSIM {s:.4f} PSNR {p:.1f} dB "
+                  f"{'PASS' if ok else 'fail'}", flush=True)
+        if ok:
+            report.append({"chosen": name})
+            return sample, report
+    report.append({"chosen": "bf16 parity path"})
+    return sample_bf16, report

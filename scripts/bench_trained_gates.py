@@ -33,6 +33,12 @@ BATCH = int(os.environ.get("BATCH", "500"))
 STEPS = int(os.environ.get("STEPS", "250"))
 RES = int(os.environ.get("RES", "64"))
 IVS = [int(v) for v in os.environ.get("CACHE_INTERVALS", "8,12,16,25").split(",")]
+# STACK picks the serving tier under test (trained weights can fail tiers that
+# pass on random init — the r5 run measured exactly that for static-GN):
+#   full = int8-static + static-GN + bf16-softmax   (the random-init headline)
+#   nogn = int8-static + bf16-softmax               (the DDIM-leg stack)
+#   bf16 = no serving relaxations (cached ladder directly on the parity path)
+STACK = os.environ.get("STACK", "full")
 GATE_SSIM, GATE_PSNR = 0.99, 35.0
 ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "TRAINED_GATES.json")
@@ -65,9 +71,19 @@ def main():
     _setup_compile_cache()
     cfg = unet_config_for_res(RES, in_channels=3, out_channels=6,
                               dtype="bfloat16", norm_dtype="bfloat16")
-    m_cal, m_serve = serving_model_pair(
-        cfg, conv_int8=True, int8_static=True, static_gn=True,
-        gn_steps=STEPS, relax_kw={"attn_softmax_dtype": "bfloat16"})
+    if STACK == "full":
+        m_cal, m_serve = serving_model_pair(
+            cfg, conv_int8=True, int8_static=True, static_gn=True,
+            gn_steps=STEPS, relax_kw={"attn_softmax_dtype": "bfloat16"})
+    elif STACK == "nogn":
+        m_cal, m_serve = serving_model_pair(
+            cfg, conv_int8=True, int8_static=True,
+            relax_kw={"attn_softmax_dtype": "bfloat16"})
+    elif STACK == "bf16":
+        m_cal = None
+        _, m_serve = serving_model_pair(cfg)
+    else:
+        raise SystemExit(f"unknown STACK={STACK}")
     _, m_bf16 = serving_model_pair(cfg)
 
     x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 3, RES, RES),
@@ -105,15 +121,23 @@ def main():
     results["bf16"] = {"sps": round(sps, 3)}
     print(json.dumps({"bf16": results["bf16"]}), flush=True)
 
-    t0 = time.perf_counter()
-    quant = calibrate_sampling(m_cal, {"params": params}, x0[:8], STEPS,
-                               **gamma)
-    p_serve = {"params": params, "quant": quant}
-    print(f"calibration: {time.perf_counter() - t0:.1f}s", flush=True)
+    if m_cal is not None:
+        t0 = time.perf_counter()
+        quant = calibrate_sampling(m_cal, {"params": params}, x0[:8], STEPS,
+                                   **gamma)
+        p_serve = {"params": params, "quant": quant}
+        print(f"calibration: {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        p_serve = {"params": params}
 
-    out_serve, sps, _ = timed(lambda: sample_iadb(
-        m_serve.apply, p_serve, x0, nb_steps=STEPS, **gamma)[0])
-    results["serving"] = gated("serving vs bf16", out_serve, out_bf16, sps)
+    if STACK == "bf16":
+        # cached ladder directly on the parity path: the reference IS bf16
+        out_serve = out_bf16
+    else:
+        out_serve, sps, _ = timed(lambda: sample_iadb(
+            m_serve.apply, p_serve, x0, nb_steps=STEPS, **gamma)[0])
+        results["serving"] = gated(f"serving[{STACK}] vs bf16", out_serve,
+                                   out_bf16, sps)
 
     def apply_full(p, x, t):
         return m_serve.apply(p, x, t, return_deep=True)
@@ -128,8 +152,18 @@ def main():
         results[f"cached_i{iv}"] = gated(f"cached(i={iv}) vs serving",
                                          out_c, out_serve, sps)
 
+    # merge per-stack: TRAINED_GATES.json = {"provenance":…, "stacks": {stack:…}}
+    data = {}
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            data = json.load(f)
+        if "stacks" not in data:  # migrate the flat (first-run) layout
+            data = {"provenance": data.pop("provenance", {}), "stacks":
+                    {"full": data}}
+    data["provenance"] = results.pop("provenance")
+    data.setdefault("stacks", {})[STACK] = results
     with open(ARTIFACT, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+        json.dump(data, f, indent=1, sort_keys=True)
     print(json.dumps({"summary": "trained-weight gates", **{
         k: v.get("gate") for k, v in results.items()
         if isinstance(v, dict) and "gate" in v}}), flush=True)

@@ -141,3 +141,39 @@ def test_attn_softmax_relaxation_tier(tiny_params):
                                conv_int8=False, static_gn=False,
                                attn_softmax_dtype="bfloat16")(x0)
     assert out.shape == x0.shape
+
+
+def test_validated_serving_trivial_gate_picks_fastest(tiny_params):
+    """make_validated_serving_sampler walks the tier ladder fastest-first: a
+    trivial gate accepts the first candidate (the full relaxation stack)."""
+    from bndm_tpu.serving import make_validated_serving_sampler
+
+    sample, report = make_validated_serving_sampler(
+        TINY, tiny_params, nb_steps=5, res=16, probe_batch=2,
+        gate_ssim=0.0, gate_psnr_db=0.0, cache_interval=2, verbose=False)
+    assert report[-1]["chosen"].startswith("int8+staticGN")
+    assert len(report) == 2  # one probe + the decision
+    assert report[0]["gate"] == "pass"
+    out = sample(jnp.zeros((2, 3, 16, 16), jnp.float32))
+    assert out.shape == (2, 3, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_validated_serving_impossible_gate_falls_back_to_bf16(tiny_params):
+    """An unreachable gate rejects every relaxed tier; the factory returns
+    the bf16 parity path itself (never rejected) with a full fail report —
+    the TRAINED_GATES.json scenario, where static-GN fails on real weights."""
+    from bndm_tpu.samplers.iadb import sample_iadb
+    from bndm_tpu.serving import make_validated_serving_sampler
+
+    sample, report = make_validated_serving_sampler(
+        TINY, tiny_params, nb_steps=5, res=16, probe_batch=2,
+        gate_ssim=1.1, gate_psnr_db=500.0, cache_interval=2, verbose=False)
+    probed = [r for r in report if "tier" in r]
+    assert len(probed) == 4 and all(r["gate"] == "fail" for r in probed)
+    assert report[-1]["chosen"] == "bf16 parity path"
+    x0 = jnp.asarray(np.random.default_rng(7).standard_normal((2, 3, 16, 16)),
+                     jnp.float32)
+    want, _ = sample_iadb(UNet2D(TINY).apply, tiny_params, x0, nb_steps=5,
+                          two_head=True)
+    np.testing.assert_array_equal(np.asarray(sample(x0)), np.asarray(want))
