@@ -226,6 +226,24 @@ def main():  # noqa: C901 — linear leg sequence, clearer flat
     except Exception:  # noqa: BLE001 — artifact optional
         pass
 
+    # Trained-weight gate re-validation (r5, VERDICT r4 #3): carry the last
+    # committed TRAINED_GATES.json summary — the one provenance axis the
+    # in-run (random-init) gates below cannot cover. Key result: static-GN
+    # fails on trained weights; int8+bf16sm+cached knee moves i=12 -> i=8.
+    try:
+        tg_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "TRAINED_GATES.json")
+        with open(tg_path) as f:
+            tg = json.load(f)
+        B.extra["trained_gates"] = {
+            "provenance": tg.get("provenance", {}).get("config", ""),
+            "stacks": {
+                stack: {leg: f"{v['sps']} sps {v['gate']}"
+                        for leg, v in legs.items() if "gate" in v}
+                for stack, legs in tg.get("stacks", {}).items()}}
+    except Exception:  # noqa: BLE001 — artifact optional
+        pass
+
     use_int8 = os.environ.get("BENCH_INT8", "1") != "0"
     use_gn = os.environ.get("BENCH_GN", "1") != "0"
     use_attn = os.environ.get("BENCH_ATTN", "1") != "0"
