@@ -67,6 +67,11 @@ def parse_args(argv=None):
     p.add_argument("--data_root", type=str, default="./data")
     p.add_argument("--bluenoise_dir", type=str, default="bluenoise")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--norm_dtype", type=str, default="float32",
+                   help="GroupNorm compute dtype; float32 is diffusers "
+                        "parity, bfloat16 is the gated serving relaxation "
+                        "(SSIM 1.0 / PSNR 76 dB vs fp32, 1.109x — "
+                        "scripts/bench_gn_fidelity.py)")
     p.add_argument("--max_steps", type=int, default=None, help="cap train steps (smoke runs)")
     p.add_argument("--tiny_model", action="store_true",
                    help="swap in a tiny UNet (CI / smoke tests only)")
@@ -178,6 +183,10 @@ def build(opt):
         import dataclasses
 
         mcfg = dataclasses.replace(mcfg, cache_depth=opt.cache_depth)
+    if opt.norm_dtype != "float32":
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, norm_dtype=opt.norm_dtype)
     if opt.attn_softmax_dtype != "float32" and opt.train_or_test == "train":
         # honored in training too (no silent no-op); test mode applies it to
         # the serving model only, keeping calibration on the exact path
