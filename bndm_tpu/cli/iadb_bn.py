@@ -141,6 +141,15 @@ def parse_args(argv=None):
                    help="with --cache_interval: how many outer down/up "
                         "blocks a cached step recomputes (1 = only the "
                         "full-resolution shell)")
+    p.add_argument("--gn_carry", action="store_true",
+                   help="with --cache_interval: GN-stats-carry tier — the "
+                        "group's full step records its per-sample GroupNorm "
+                        "statistics and the shallow steps normalize with "
+                        "them instead of re-reducing (ops/static_norm.py "
+                        "record/reuse). Keeps the per-sample content "
+                        "dependence that makes --static_gn fail on trained "
+                        "weights (TRAINED_GATES.json); mutually exclusive "
+                        "with --static_gn")
     # multi-host launch (replaces the reference's `accelerate launch`,
     # ddim_diffusers.py:295-301): run one process per host with the same
     # flags plus these three; on TPU pods with a cluster env all three are
@@ -354,6 +363,12 @@ def run_test(opt):
         raise SystemExit("--static_gn requires the linear alpha schedule "
                          "(the per-step GN tables are indexed by "
                          "round(alpha*T) — ops/static_norm.py)")
+    if opt.gn_carry and opt.static_gn:
+        raise SystemExit("--gn_carry and --static_gn both replace GroupNorm "
+                         "— pick one")
+    if opt.gn_carry and not (opt.cache_interval and opt.cache_interval > 1):
+        raise SystemExit("--gn_carry reuses stats across a cached group — "
+                         "it requires --cache_interval > 1")
     # serving path: calibrate constant conv activation scales and/or
     # per-(site,step) GroupNorm statistics on ONE exact small-batch
     # trajectory, then sample with static constants — int8-static is
@@ -411,11 +426,29 @@ def run_test(opt):
     writer = AsyncImageWriter() if opt.save_all_samples else None
     wall_t0 = time.time()
 
-    def apply_full(p, x, t):
-        return model.apply(p, x, t, return_deep=True)
+    if opt.gn_carry:
+        import dataclasses
 
-    def apply_shallow(p, x, t, deep):
-        return model.apply(p, x, t, deep_feature=deep)
+        from bndm_tpu.models.unet2d import UNet2D
+
+        m_rec = UNet2D(dataclasses.replace(model.cfg, gn_mode="record"))
+        m_reu = UNet2D(dataclasses.replace(model.cfg, gn_mode="reuse"))
+
+        def apply_full(p, x, t):
+            (d, deep), gv = m_rec.apply(p, x, t, return_deep=True,
+                                        mutable=["gnstats"])
+            return d, (deep, gv["gnstats"])
+
+        def apply_shallow(p, x, t, pack):
+            deep, stats = pack
+            return m_reu.apply(dict(p, gnstats=stats), x, t,
+                               deep_feature=deep)
+    else:
+        def apply_full(p, x, t):
+            return model.apply(p, x, t, return_deep=True)
+
+        def apply_shallow(p, x, t, deep):
+            return model.apply(p, x, t, deep_feature=deep)
 
     for i in range(nb_batches):
         if replicability_batches is not None and not opt.save_all_samples \

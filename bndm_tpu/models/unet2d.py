@@ -82,10 +82,14 @@ class UNet2DConfig:
     # upsample convs are small enough that XLA's conv is already faster than
     # the extra data movement. Kept opt-in; the VAE decoder (4x larger convs
     # at 256^2/512^2, MAC-dominated) does use it.
-    gn_mode: str = "dynamic"  # dynamic | calibrate | static — static-calibrated
-    # GroupNorm statistics for serving (ops/static_norm.py; fidelity-gated
-    # experiment attacking the GN/SiLU bandwidth wall). calibrate/static need
-    # gn_steps = the sampler's nb_steps and the LINEAR alpha schedule.
+    gn_mode: str = "dynamic"  # dynamic | calibrate | static | record | reuse —
+    # static-calibrated or carried GroupNorm statistics for serving
+    # (ops/static_norm.py; fidelity-gated experiments attacking the GN/SiLU
+    # bandwidth wall). calibrate/static need gn_steps = the sampler's
+    # nb_steps and the LINEAR alpha schedule; record/reuse (the per-sample
+    # GN-stats-carry tier for the cached sampler) need neither — 'record'
+    # exposes this forward's per-sample stats in the mutable 'gnstats'
+    # collection, 'reuse' consumes them (serving.py wires the pair).
     gn_steps: int = 0
     conv_out_dtype: str = "float32"  # the final conv's compute/output dtype.
     # fp32 is the parity default; the r3 static-GN profile shows this conv is
@@ -535,10 +539,11 @@ class UNet2D(nn.Module):
             # explicit trajectory index (DDIM: the sampler's scan position —
             # its integer timesteps carry no usable index, samplers/ddim.py)
             step_idx = jnp.asarray(step_idx, jnp.int32)
-        elif cfg.gn_mode != "dynamic":
+        elif cfg.gn_mode in ("calibrate", "static"):
             # IADB passes alpha = (t+1)/T as the timestep; with LINEAR alpha
             # (every published run config) this recovers the integer step t
-            # for the calibrated-GN tables (ops/static_norm.py module doc)
+            # for the calibrated-GN tables (ops/static_norm.py module doc).
+            # record/reuse (the GN-stats-carry tier) have no step tables.
             step_idx = jnp.round(
                 timesteps.astype(jnp.float32)[0] * cfg.gn_steps
             ).astype(jnp.int32) - 1

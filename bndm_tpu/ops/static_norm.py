@@ -20,6 +20,25 @@ Modes (mirroring ops/int8.Int8Conv):
               step into (T, G) tables in the 'quant' collection
   static    — normalize with the calibrated constants for the current step:
               y = x * (scale * rstd[t]) + (bias - mean[t] * rstd[t] * scale)
+  record    — exact GroupNorm, while storing THIS call's per-sample (B, G)
+              mean/rstd into the mutable 'gnstats' collection
+  reuse     — normalize with per-sample stats provided in the 'gnstats'
+              collection (recorded by a previous 'record' forward)
+
+record/reuse is the GN-stats-carry serving tier (r5): the static tables
+above are batch means from ONE calibration trajectory, so they drop the
+per-sample content dependence of GroupNorm — which is exactly why the
+static tier fails on trained weights (TRAINED_GATES.json: 30.3 dB vs the
+35 dB gate; trained activations vary per sample). The feature-reuse
+(block-caching) sampler already alternates full/shallow forwards
+(samplers/iadb.py::_cached_chain): running the group's full step in
+'record' mode and the shallow steps in 'reuse' mode keeps the stats
+per-sample and EXACT as of the group's full step, while still deleting the
+stats-reduction pass from every shallow step — the same HBM win, without
+the batch-mean approximation. The stats ride the cached trunk feature
+through the scan ((B, G) fp32 per site — KBs next to the multi-GB shell
+passes). Fidelity is gated like every tier (scripts/bench_trained_gates.py
+STACK=gncarry).
 
 Step indexing: the IADB sampler passes the continuous alpha = (t+1)/T as the
 "timestep" (reference iadb_bn.py:319); with the linear alpha schedule (every
@@ -111,6 +130,26 @@ class CalGroupNorm(nn.Module):
             if self.mode in ("calibrate", "static"):
                 self._tables()  # init pass: just create the tables
             return y
+        if self.mode == "record":
+            # exact GN + store this call's per-sample stats for a later
+            # 'reuse' forward (the cached sampler's shallow steps)
+            mu, var = self._stats(x)  # (B, G) fp32
+            rstd = jax.lax.rsqrt(var + self.epsilon)
+            self.variable("gnstats", "mu", lambda: mu).value = mu
+            self.variable("gnstats", "rstd", lambda: rstd).value = rstd
+            return self._normalize(x, mu, rstd, scale, bias)
+        if self.mode == "reuse":
+            if self.is_initializing():
+                return self._exact(x, scale, bias)
+            if not (self.has_variable("gnstats", "mu")
+                    and self.has_variable("gnstats", "rstd")):
+                raise ValueError(
+                    "CalGroupNorm(mode='reuse') needs the 'gnstats' "
+                    "collection from a mode='record' forward in the "
+                    "apply variables")
+            mu = self.get_variable("gnstats", "mu")
+            rstd = self.get_variable("gnstats", "rstd")
+            return self._normalize(x, mu, rstd, scale, bias)
         if self.mode == "calibrate":
             if step_idx is None:
                 raise ValueError("calibrate mode needs step_idx")
@@ -157,12 +196,16 @@ class CalGroupNorm(nn.Module):
         var = jnp.mean(jnp.square(xf), axis=(1, 2, 4)) - jnp.square(mu)
         return mu, var  # (B, G) each
 
-    def _exact(self, x, scale, bias):
-        mu, var = self._stats(x)  # (B, G)
+    def _normalize(self, x, mu, rstd, scale, bias):
+        """One fused pass: per-sample (B, G) stats -> normalized output."""
         c = x.shape[-1]
         g = self.num_groups
-        rstd = jax.lax.rsqrt(var + self.epsilon)
         mu_c = jnp.repeat(mu, c // g, axis=1)[:, None, None, :]  # (B,1,1,C)
         rstd_c = jnp.repeat(rstd, c // g, axis=1)[:, None, None, :]
         y = (x.astype(jnp.float32) - mu_c) * rstd_c * scale + bias
         return y.astype(self.dtype)
+
+    def _exact(self, x, scale, bias):
+        mu, var = self._stats(x)  # (B, G)
+        rstd = jax.lax.rsqrt(var + self.epsilon)
+        return self._normalize(x, mu, rstd, scale, bias)

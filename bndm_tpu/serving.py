@@ -103,6 +103,7 @@ def make_serving_sampler(
     attn_softmax_dtype: Optional[str] = None,
     cache_interval: Optional[int] = None,
     x_c: Optional[jax.Array] = None,
+    gn_carry: bool = False,
 ):
     """Calibrate once, then serve.
 
@@ -124,6 +125,14 @@ def make_serving_sampler(
     ``x_c``: channel-concat conditioning for the conditional super-res path
     (iadb_bn.py:406), batch-aligned with x0; calibration uses its leading
     slice. Not supported together with ``microbatch``.
+    ``gn_carry``: GN-stats-carry tier (requires ``cache_interval`` > 1,
+    mutually exclusive with ``static_gn``): the group's full forward runs
+    exact GroupNorm while recording its per-sample (B, G) statistics; the
+    shallow steps normalize with those carried stats instead of re-reducing
+    — deletes the stats pass like static-GN, but keeps the per-sample
+    content dependence that makes static tables fail on trained weights
+    (ops/static_norm.py module doc; gated in
+    scripts/bench_trained_gates.py STACK=gncarry).
     """
     from bndm_tpu.ops.int8 import calibrate_sampling
     from bndm_tpu.samplers.iadb import (
@@ -134,6 +143,12 @@ def make_serving_sampler(
     if x_c is not None and microbatch:
         raise ValueError("x_c conditioning is not supported with microbatch "
                          "(the conditional workloads fit in one batch)")
+    if gn_carry and static_gn:
+        raise ValueError("gn_carry and static_gn both replace GroupNorm — "
+                         "pick one")
+    if gn_carry and not (cache_interval is not None and cache_interval > 1):
+        raise ValueError("gn_carry reuses stats across a cached group — it "
+                         "requires cache_interval > 1")
     if two_head is None:
         two_head = cfg.out_channels == 2 * cfg.in_channels
     params = params.get("params", params)
@@ -168,11 +183,29 @@ def make_serving_sampler(
 
     caching = cache_interval is not None and cache_interval > 1
 
-    def apply_full(p, x, t):
-        return model.apply(p, x, t, return_deep=True)
+    if gn_carry:
+        from bndm_tpu.models.unet2d import UNet2D
 
-    def apply_shallow(p, x, t, deep):
-        return model.apply(p, x, t, deep_feature=deep)
+        m_rec = UNet2D(dataclasses.replace(model.cfg, gn_mode="record"))
+        m_reu = UNet2D(dataclasses.replace(model.cfg, gn_mode="reuse"))
+
+        def apply_full(p, x, t):
+            # full step: exact GN, capture trunk + per-sample GN stats; the
+            # stats ride the opaque `deep` slot through the cached chain
+            (d, deep), gv = m_rec.apply(p, x, t, return_deep=True,
+                                        mutable=["gnstats"])
+            return d, (deep, gv["gnstats"])
+
+        def apply_shallow(p, x, t, pack):
+            deep, stats = pack
+            return m_reu.apply(dict(p, gnstats=stats), x, t,
+                               deep_feature=deep)
+    else:
+        def apply_full(p, x, t):
+            return model.apply(p, x, t, return_deep=True)
+
+        def apply_shallow(p, x, t, deep):
+            return model.apply(p, x, t, deep_feature=deep)
 
     def sample(x0):
         """Denoise x0 (N, C, H, W) with the serving configuration."""
@@ -323,10 +356,13 @@ def make_validated_serving_sampler(
     samples against the bf16 parity path on identical x0):
 
       1. int8-static + static-GN + bf16-softmax + cached(``cache_interval``)
-      2. int8-static + bf16-softmax + cached(``cache_interval``)
-      3. int8-static + bf16-softmax + cached(max(2, interval // 2))
-      4. bf16 + cached(max(2, interval // 2))
-      5. bf16 uncached — the parity path itself, never rejected
+      2. int8-static + GN-stats-carry + bf16-softmax + cached(interval)
+         (per-sample carried GN stats — the tier built for exactly the
+         trained-weight case where static tables fail)
+      3. int8-static + bf16-softmax + cached(``cache_interval``)
+      4. int8-static + bf16-softmax + cached(max(2, interval // 2))
+      5. bf16 + cached(max(2, interval // 2))
+      6. bf16 uncached — the parity path itself, never rejected
 
     ``res`` is the spatial size the probe (and serving) runs at — the UNet
     is resolution-agnostic, so the config does not carry it.
@@ -348,6 +384,9 @@ def make_validated_serving_sampler(
         ("int8+staticGN+bf16sm+cached(i=%d)" % cache_interval,
          dict(conv_int8=True, static_gn=True, attn_softmax_dtype="bfloat16",
               cache_interval=cache_interval)),
+        ("int8+gncarry+bf16sm+cached(i=%d)" % cache_interval,
+         dict(conv_int8=True, static_gn=False, gn_carry=True,
+              attn_softmax_dtype="bfloat16", cache_interval=cache_interval)),
         ("int8+bf16sm+cached(i=%d)" % cache_interval,
          dict(conv_int8=True, static_gn=False,
               attn_softmax_dtype="bfloat16", cache_interval=cache_interval)),

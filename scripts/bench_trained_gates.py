@@ -37,6 +37,9 @@ IVS = [int(v) for v in os.environ.get("CACHE_INTERVALS", "8,12,16,25").split(","
 # pass on random init — the r5 run measured exactly that for static-GN):
 #   full = int8-static + static-GN + bf16-softmax   (the random-init headline)
 #   nogn = int8-static + bf16-softmax               (the DDIM-leg stack)
+#   gncarry = nogn serving + per-sample GN-stats carry on the cached ladder's
+#             shallow steps (ops/static_norm.py record/reuse — the r5 tier
+#             built for exactly this trained-weight static-GN failure)
 #   bf16 = no serving relaxations (cached ladder directly on the parity path)
 STACK = os.environ.get("STACK", "full")
 GATE_SSIM, GATE_PSNR = 0.99, 35.0
@@ -75,7 +78,7 @@ def main():
         m_cal, m_serve = serving_model_pair(
             cfg, conv_int8=True, int8_static=True, static_gn=True,
             gn_steps=STEPS, relax_kw={"attn_softmax_dtype": "bfloat16"})
-    elif STACK == "nogn":
+    elif STACK in ("nogn", "gncarry"):
         m_cal, m_serve = serving_model_pair(
             cfg, conv_int8=True, int8_static=True,
             relax_kw={"attn_softmax_dtype": "bfloat16"})
@@ -139,11 +142,29 @@ def main():
         results["serving"] = gated(f"serving[{STACK}] vs bf16", out_serve,
                                    out_bf16, sps)
 
-    def apply_full(p, x, t):
-        return m_serve.apply(p, x, t, return_deep=True)
+    if STACK == "gncarry":
+        import dataclasses
 
-    def apply_shallow(p, x, t, deep):
-        return m_serve.apply(p, x, t, deep_feature=deep)
+        from bndm_tpu.models.unet2d import UNet2D
+
+        m_rec = UNet2D(dataclasses.replace(m_serve.cfg, gn_mode="record"))
+        m_reu = UNet2D(dataclasses.replace(m_serve.cfg, gn_mode="reuse"))
+
+        def apply_full(p, x, t):
+            (d, deep), gv = m_rec.apply(p, x, t, return_deep=True,
+                                        mutable=["gnstats"])
+            return d, (deep, gv["gnstats"])
+
+        def apply_shallow(p, x, t, pack):
+            deep, stats = pack
+            return m_reu.apply(dict(p, gnstats=stats), x, t,
+                               deep_feature=deep)
+    else:
+        def apply_full(p, x, t):
+            return m_serve.apply(p, x, t, return_deep=True)
+
+        def apply_shallow(p, x, t, deep):
+            return m_serve.apply(p, x, t, deep_feature=deep)
 
     for iv in IVS:
         out_c, sps, _ = timed(lambda: sample_iadb_cached(

@@ -143,6 +143,34 @@ def test_attn_softmax_relaxation_tier(tiny_params):
     assert out.shape == x0.shape
 
 
+def test_gn_carry_tier(tiny_params):
+    """GN-stats-carry serving tier (gn_carry=True): runs end to end with the
+    cached sampler (full batch AND microbatched), stays close to the exact-GN
+    cached output, and the invalid combinations raise."""
+    common = dict(nb_steps=6, conv_int8=False, static_gn=False,
+                  cache_interval=2)
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal((4, 3, 16, 16)),
+                     jnp.float32)
+    ref = make_serving_sampler(TINY, tiny_params, **common)(x0)
+    got = make_serving_sampler(TINY, tiny_params, gn_carry=True, **common)(x0)
+    assert got.shape == x0.shape and np.isfinite(np.asarray(got)).all()
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.15, (err, scale)
+
+    mb = make_serving_sampler(TINY, tiny_params, gn_carry=True,
+                              microbatch=2, **common)(jnp.array(x0))
+    assert mb.shape == x0.shape and np.isfinite(np.asarray(mb)).all()
+
+    with pytest.raises(ValueError, match="static_gn"):
+        make_serving_sampler(TINY, tiny_params, nb_steps=6, gn_carry=True,
+                             conv_int8=False, static_gn=True,
+                             cache_interval=2)
+    with pytest.raises(ValueError, match="cache_interval"):
+        make_serving_sampler(TINY, tiny_params, nb_steps=6, gn_carry=True,
+                             conv_int8=False, static_gn=False)
+
+
 def test_validated_serving_trivial_gate_picks_fastest(tiny_params):
     """make_validated_serving_sampler walks the tier ladder fastest-first: a
     trivial gate accepts the first candidate (the full relaxation stack)."""
@@ -170,7 +198,8 @@ def test_validated_serving_impossible_gate_falls_back_to_bf16(tiny_params):
         TINY, tiny_params, nb_steps=5, res=16, probe_batch=2,
         gate_ssim=1.1, gate_psnr_db=500.0, cache_interval=2, verbose=False)
     probed = [r for r in report if "tier" in r]
-    assert len(probed) == 4 and all(r["gate"] == "fail" for r in probed)
+    assert len(probed) == 5 and all(r["gate"] == "fail" for r in probed)
+    assert any("gncarry" in r["tier"] for r in probed)  # r5 tier is probed
     assert report[-1]["chosen"] == "bf16 parity path"
     x0 = jnp.asarray(np.random.default_rng(7).standard_normal((2, 3, 16, 16)),
                      jnp.float32)

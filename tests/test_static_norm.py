@@ -144,6 +144,95 @@ def test_ddim_calibrate_then_static_sampling():
                                rtol=5e-3, atol=5e-3)
 
 
+def test_record_mode_exact_and_reuse_roundtrip():
+    """record mode must compute EXACT GroupNorm while exposing its per-sample
+    stats; reuse with those stats on the SAME x is bitwise the same
+    normalization (the GN-stats-carry tier's full/shallow contract)."""
+    x = _x((3, 8, 8, 16), 11) * 2.0 + 0.3
+    ref = nn.GroupNorm(4, epsilon=1e-5)
+    rp = ref.init(jax.random.PRNGKey(0), x)
+    want = ref.apply(rp, x)
+
+    rec = CalGroupNorm(4, 1e-5, jnp.float32, "record")
+    got, mut = rec.apply({"params": rp["params"]}, x, mutable=["gnstats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    stats = mut["gnstats"]
+    assert stats["mu"].shape == (3, 4) and stats["rstd"].shape == (3, 4)
+
+    reu = CalGroupNorm(4, 1e-5, jnp.float32, "reuse")
+    again = reu.apply({"params": rp["params"], "gnstats": stats}, x)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(got))
+
+    # reuse on a DIFFERENT x applies the carried (stale) stats: finite, and
+    # not the exact GN of the new input
+    x2 = _x((3, 8, 8, 16), 12) * 5.0
+    drifted = reu.apply({"params": rp["params"], "gnstats": stats}, x2)
+    assert np.isfinite(np.asarray(drifted)).all()
+    exact2 = ref.apply(rp, x2)
+    assert not np.allclose(np.asarray(drifted), np.asarray(exact2))
+
+
+def test_reuse_requires_gnstats():
+    x = _x((1, 4, 4, 8))
+    m = CalGroupNorm(4, 1e-5, jnp.float32, "reuse")
+    v = m.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="gnstats"):
+        m.apply({"params": v["params"]}, x)
+
+
+def test_unet_gn_carry_cached_sampling(tiny_gn_models):
+    """GN-stats-carry end to end on the tiny UNet: (1) a shallow forward at
+    the SAME (x, t) with carried stats reproduces the full record-mode
+    forward exactly (stats recorded at that x are exact); (2) the cached
+    sampler with carry stays close to the exact-GN cached sampler (stale
+    stats within a group are the only divergence)."""
+    import dataclasses
+
+    from bndm_tpu.models.unet2d import UNet2D
+    from bndm_tpu.samplers.iadb import sample_iadb_cached
+
+    nb, dyn, _, _, params = tiny_gn_models
+    m_rec = UNet2D(dataclasses.replace(dyn.cfg, gn_mode="record"))
+    m_reu = UNet2D(dataclasses.replace(dyn.cfg, gn_mode="reuse"))
+
+    x = _x((2, 3, 16, 16), 21)
+    t = jnp.full((2,), 0.5)
+    (d_full, deep), gv = m_rec.apply(params, x, t, return_deep=True,
+                                     mutable=["gnstats"])
+    d_shallow = m_reu.apply(dict(params, gnstats=gv["gnstats"]), x, t,
+                            deep_feature=deep)
+    np.testing.assert_allclose(np.asarray(d_shallow), np.asarray(d_full),
+                               rtol=1e-5, atol=1e-5)
+
+    def full_carry(p, xx, tt):
+        (d, dp), g = m_rec.apply(p, xx, tt, return_deep=True,
+                                 mutable=["gnstats"])
+        return d, (dp, g["gnstats"])
+
+    def shallow_carry(p, xx, tt, pack):
+        dp, stats = pack
+        return m_reu.apply(dict(p, gnstats=stats), xx, tt, deep_feature=dp)
+
+    def full_exact(p, xx, tt):
+        return dyn.apply(p, xx, tt, return_deep=True)
+
+    def shallow_exact(p, xx, tt, dp):
+        return dyn.apply(p, xx, tt, deep_feature=dp)
+
+    x0 = _x((2, 3, 16, 16), 22)
+    want = sample_iadb_cached(full_exact, shallow_exact, params, x0,
+                              nb_steps=nb, cache_interval=2, two_head=True)
+    got = sample_iadb_cached(full_carry, shallow_carry, params, x0,
+                             nb_steps=nb, cache_interval=2, two_head=True)
+    assert np.isfinite(np.asarray(got)).all()
+    # random-init tiny model: the carried stats drift only within each
+    # 2-step group, so outputs stay close to the exact-GN cached chain
+    err = float(jnp.max(jnp.abs(got - want)))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-6
+    assert err / scale < 0.15, (err, scale)
+
+
 def test_smooth_gn_tables():
     """smooth_gn_tables (r5 DDIM rescue): truncated box filter along the
     step axis of gn_mean/gn_var only; other leaves untouched; window<=1 is
