@@ -108,6 +108,61 @@ def smooth_gn_tables(quant, window):
     return jax.tree_util.tree_map_with_path(visit, quant)
 
 
+def drift_correct_gnstats(gnstats, quant, idx_cur, idx_ref, epsilon=1e-5):
+    """Drift-corrected GN-stats carry (r5): shift the per-sample statistics
+    recorded at the cached group's full step (``idx_ref``) to the current
+    shallow step (``idx_cur``) using the calibrated batch-mean tables.
+
+    The plain carry tier reuses the full step's (B, G) mu/rstd unchanged, so
+    its error is the activation drift across the group — measured on trained
+    weights it fails the gate at interval 8 (SSIM 0.943, TRAINED_GATES.json
+    stacks.gncarry). That drift has a large batch-common component: the IADB
+    trajectory moves from noise to image, so every sample's activation scale
+    shifts systematically with alpha. The calibrated per-(site, step) tables
+    (ops/int8.py::calibrate_sampling with gn_mode='calibrate') measure
+    exactly that batch-mean trajectory, so the first-order correction
+
+        mu'   = mu_rec   + (gn_mean[t] - gn_mean[t_ref])       (additive)
+        rstd' = rstd_rec * sqrt((gn_var[t_ref]+eps)/(gn_var[t]+eps))
+
+    keeps the per-sample base (what makes the carry pass where static-GN
+    fails) and removes the systematic drift (what makes the plain carry fail
+    at useful intervals) — at zero extra HBM traffic: the correction is
+    (B, G)-sized arithmetic on scan-carried stats against tiny (T, G)
+    constant tables, nothing touches the activations.
+
+    Pure function of pytrees: ``gnstats`` is the mutable collection returned
+    by a gn_mode='record' forward; ``quant`` is the calibrated collection
+    holding 'gn_mean'/'gn_var' tables at the SAME module paths (both are
+    created inside CalGroupNorm). Sites present in gnstats but missing
+    tables are passed through uncorrected. ``idx_cur``/``idx_ref`` are
+    integer step indices (traced scalars are fine — table lookups are
+    dynamic gathers on (T, G) arrays).
+    """
+    flat_q = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(quant)[0]:
+        keys = tuple(getattr(k, "key", None) for k in path)
+        if keys[-1] in ("gn_mean", "gn_var"):
+            flat_q[keys] = leaf
+
+    def visit(path, leaf):
+        keys = tuple(getattr(k, "key", None) for k in path)
+        if keys[-1] not in ("mu", "rstd"):
+            return leaf
+        mean_t = flat_q.get(keys[:-1] + ("gn_mean",))
+        var_t = flat_q.get(keys[:-1] + ("gn_var",))
+        if mean_t is None or var_t is None:
+            return leaf  # no tables calibrated for this site
+        t = jnp.clip(idx_cur, 0, mean_t.shape[0] - 1)
+        r = jnp.clip(idx_ref, 0, mean_t.shape[0] - 1)
+        if keys[-1] == "mu":
+            return leaf + (mean_t[t] - mean_t[r])[None, :]
+        return leaf * jnp.sqrt((var_t[r] + epsilon)
+                               / (var_t[t] + epsilon))[None, :]
+
+    return jax.tree_util.tree_map_with_path(visit, gnstats)
+
+
 class CalGroupNorm(nn.Module):
     """GroupNorm with optional static-calibrated statistics (see module doc)."""
 

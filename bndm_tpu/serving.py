@@ -103,7 +103,7 @@ def make_serving_sampler(
     attn_softmax_dtype: Optional[str] = None,
     cache_interval: Optional[int] = None,
     x_c: Optional[jax.Array] = None,
-    gn_carry: bool = False,
+    gn_carry=False,
 ):
     """Calibrate once, then serve.
 
@@ -132,7 +132,15 @@ def make_serving_sampler(
     — deletes the stats pass like static-GN, but keeps the per-sample
     content dependence that makes static tables fail on trained weights
     (ops/static_norm.py module doc; gated in
-    scripts/bench_trained_gates.py STACK=gncarry).
+    scripts/bench_trained_gates.py STACK=gncarry). Values: False, True (or
+    ``"carry"``) = plain carry; ``"drift"`` = drift-corrected carry — the
+    carried per-sample stats are shifted to each shallow step with the
+    calibrated batch-mean (T, G) tables
+    (ops/static_norm.py::drift_correct_gnstats; removes the systematic
+    alpha-dependent staleness that fails the plain carry at useful
+    intervals on trained weights). ``"drift"`` calibrates the GN tables
+    (so it requires the linear alpha schedule, like ``static_gn``) but
+    serves with per-sample record/reuse GroupNorm, not static tables.
     """
     from bndm_tpu.ops.int8 import calibrate_sampling
     from bndm_tpu.samplers.iadb import (
@@ -143,19 +151,29 @@ def make_serving_sampler(
     if x_c is not None and microbatch:
         raise ValueError("x_c conditioning is not supported with microbatch "
                          "(the conditional workloads fit in one batch)")
-    if gn_carry and static_gn:
+    carry_mode = {False: None, True: "carry"}.get(gn_carry, gn_carry)
+    if carry_mode not in (None, "carry", "drift"):
+        raise ValueError(f"gn_carry must be False/True/'carry'/'drift', "
+                         f"got {gn_carry!r}")
+    if carry_mode and static_gn:
         raise ValueError("gn_carry and static_gn both replace GroupNorm — "
                          "pick one")
-    if gn_carry and not (cache_interval is not None and cache_interval > 1):
+    if carry_mode and not (cache_interval is not None and cache_interval > 1):
         raise ValueError("gn_carry reuses stats across a cached group — it "
                          "requires cache_interval > 1")
+    if carry_mode == "drift" and scheduler_alpha != "linear":
+        raise ValueError("gn_carry='drift' indexes the calibrated GN tables "
+                         "by step — it requires the linear alpha schedule")
     if two_head is None:
         two_head = cfg.out_channels == 2 * cfg.in_channels
     params = params.get("params", params)
 
     m_cal, model = serving_model_pair(
         cfg, conv_int8=True if conv_int8 else None, int8_static=conv_int8,
-        static_gn=static_gn, gn_steps=nb_steps,
+        # drift-corrected carry calibrates the batch-mean GN tables (for
+        # the per-step correction), but serves record/reuse — the static
+        # gn_mode set here is replaced below, never applied
+        static_gn=static_gn or carry_mode == "drift", gn_steps=nb_steps,
         relax_kw={"attn_softmax_dtype": attn_softmax_dtype}
         if attn_softmax_dtype is not None else None)
     if m_cal is None:  # nothing to calibrate: plain jitted sampler
@@ -183,21 +201,34 @@ def make_serving_sampler(
 
     caching = cache_interval is not None and cache_interval > 1
 
-    if gn_carry:
+    if carry_mode:
         from bndm_tpu.models.unet2d import UNet2D
+        from bndm_tpu.ops.static_norm import drift_correct_gnstats
 
         m_rec = UNet2D(dataclasses.replace(model.cfg, gn_mode="record"))
         m_reu = UNet2D(dataclasses.replace(model.cfg, gn_mode="reuse"))
+
+        def step_of(t):
+            # linear alpha: t carries alpha = (step+1)/T (samplers/iadb.py)
+            return jnp.round(t[0] * nb_steps).astype(jnp.int32) - 1
 
         def apply_full(p, x, t):
             # full step: exact GN, capture trunk + per-sample GN stats; the
             # stats ride the opaque `deep` slot through the cached chain
             (d, deep), gv = m_rec.apply(p, x, t, return_deep=True,
                                         mutable=["gnstats"])
-            return d, (deep, gv["gnstats"])
+            stats = gv["gnstats"]
+            pack = ((deep, stats) if carry_mode == "carry"
+                    else (deep, stats, step_of(t)))
+            return d, pack
 
         def apply_shallow(p, x, t, pack):
-            deep, stats = pack
+            if carry_mode == "carry":
+                deep, stats = pack
+            else:
+                deep, stats, idx_ref = pack
+                stats = drift_correct_gnstats(stats, p["quant"],
+                                              step_of(t), idx_ref)
             return m_reu.apply(dict(p, gnstats=stats), x, t,
                                deep_feature=deep)
     else:
@@ -356,13 +387,15 @@ def make_validated_serving_sampler(
     samples against the bf16 parity path on identical x0):
 
       1. int8-static + static-GN + bf16-softmax + cached(``cache_interval``)
-      2. int8-static + GN-stats-carry + bf16-softmax + cached(interval)
-         (per-sample carried GN stats — the tier built for exactly the
+      2. int8-static + drift-corrected GN-stats-carry + bf16-softmax +
+         cached(interval) (per-sample carried GN stats shifted per step by
+         the calibrated batch-mean tables — built for exactly the
          trained-weight case where static tables fail)
-      3. int8-static + bf16-softmax + cached(``cache_interval``)
-      4. int8-static + bf16-softmax + cached(max(2, interval // 2))
-      5. bf16 + cached(max(2, interval // 2))
-      6. bf16 uncached — the parity path itself, never rejected
+      3. int8-static + plain GN-stats-carry + bf16-softmax + cached(interval)
+      4. int8-static + bf16-softmax + cached(``cache_interval``)
+      5. int8-static + bf16-softmax + cached(max(2, interval // 2))
+      6. bf16 + cached(max(2, interval // 2))
+      7. bf16 uncached — the parity path itself, never rejected
 
     ``res`` is the spatial size the probe (and serving) runs at — the UNet
     is resolution-agnostic, so the config does not carry it.
@@ -384,6 +417,9 @@ def make_validated_serving_sampler(
         ("int8+staticGN+bf16sm+cached(i=%d)" % cache_interval,
          dict(conv_int8=True, static_gn=True, attn_softmax_dtype="bfloat16",
               cache_interval=cache_interval)),
+        ("int8+gndrift+bf16sm+cached(i=%d)" % cache_interval,
+         dict(conv_int8=True, static_gn=False, gn_carry="drift",
+              attn_softmax_dtype="bfloat16", cache_interval=cache_interval)),
         ("int8+gncarry+bf16sm+cached(i=%d)" % cache_interval,
          dict(conv_int8=True, static_gn=False, gn_carry=True,
               attn_softmax_dtype="bfloat16", cache_interval=cache_interval)),

@@ -40,6 +40,10 @@ IVS = [int(v) for v in os.environ.get("CACHE_INTERVALS", "8,12,16,25").split(","
 #   gncarry = nogn serving + per-sample GN-stats carry on the cached ladder's
 #             shallow steps (ops/static_norm.py record/reuse — the r5 tier
 #             built for exactly this trained-weight static-GN failure)
+#   gndrift = gncarry + drift correction: the carried per-sample stats are
+#             shifted to each shallow step with the calibrated batch-mean
+#             tables (drift_correct_gnstats — attacks the staleness that
+#             fails the plain carry at useful intervals: i=8 SSIM 0.943)
 #   bf16 = no serving relaxations (cached ladder directly on the parity path)
 STACK = os.environ.get("STACK", "full")
 GATE_SSIM, GATE_PSNR = 0.99, 35.0
@@ -74,7 +78,7 @@ def main():
     _setup_compile_cache()
     cfg = unet_config_for_res(RES, in_channels=3, out_channels=6,
                               dtype="bfloat16", norm_dtype="bfloat16")
-    if STACK == "full":
+    if STACK in ("full", "gndrift"):
         m_cal, m_serve = serving_model_pair(
             cfg, conv_int8=True, int8_static=True, static_gn=True,
             gn_steps=STEPS, relax_kw={"attn_softmax_dtype": "bfloat16"})
@@ -136,27 +140,65 @@ def main():
     if STACK == "bf16":
         # cached ladder directly on the parity path: the reference IS bf16
         out_serve = out_bf16
+    elif STACK == "gndrift":
+        # uncached reference leg = the nogn serving program (exact GN on
+        # every step — the drift tiers only change the CACHED chain). Prune
+        # the gn tables from a COPY of the quant tree so this program's
+        # pytree structure (part of the jit key) matches the nogn stack's
+        # already-cached compile; the cached ladder below keeps the full
+        # tree (the correction reads the tables).
+        import dataclasses
+
+        from bndm_tpu.models.unet2d import UNet2D
+
+        def prune_gn(d):
+            if not isinstance(d, dict):
+                return d
+            out = {k: prune_gn(v) for k, v in d.items()
+                   if k not in ("gn_mean", "gn_var")}
+            return {k: v for k, v in out.items()
+                    if not (isinstance(v, dict) and not v)}
+
+        m_unc = UNet2D(dataclasses.replace(m_serve.cfg, gn_mode="dynamic",
+                                           gn_steps=0))
+        p_unc = {"params": params, "quant": prune_gn(p_serve["quant"])}
+        out_serve, sps, _ = timed(lambda: sample_iadb(
+            m_unc.apply, p_unc, x0, nb_steps=STEPS, **gamma)[0])
+        results["serving"] = gated(f"serving[{STACK}] vs bf16", out_serve,
+                                   out_bf16, sps)
     else:
         out_serve, sps, _ = timed(lambda: sample_iadb(
             m_serve.apply, p_serve, x0, nb_steps=STEPS, **gamma)[0])
         results["serving"] = gated(f"serving[{STACK}] vs bf16", out_serve,
                                    out_bf16, sps)
 
-    if STACK == "gncarry":
+    if STACK in ("gncarry", "gndrift"):
         import dataclasses
 
         from bndm_tpu.models.unet2d import UNet2D
+        from bndm_tpu.ops.static_norm import drift_correct_gnstats
 
         m_rec = UNet2D(dataclasses.replace(m_serve.cfg, gn_mode="record"))
         m_reu = UNet2D(dataclasses.replace(m_serve.cfg, gn_mode="reuse"))
 
+        def step_of(t):
+            # linear alpha: t carries alpha = (step+1)/T
+            return jnp.round(t[0] * STEPS).astype(jnp.int32) - 1
+
         def apply_full(p, x, t):
             (d, deep), gv = m_rec.apply(p, x, t, return_deep=True,
                                         mutable=["gnstats"])
-            return d, (deep, gv["gnstats"])
+            if STACK == "gncarry":
+                return d, (deep, gv["gnstats"])
+            return d, (deep, gv["gnstats"], step_of(t))
 
         def apply_shallow(p, x, t, pack):
-            deep, stats = pack
+            if STACK == "gncarry":
+                deep, stats = pack
+            else:
+                deep, stats, idx_ref = pack
+                stats = drift_correct_gnstats(stats, p["quant"],
+                                              step_of(t), idx_ref)
             return m_reu.apply(dict(p, gnstats=stats), x, t,
                                deep_feature=deep)
     else:
@@ -182,7 +224,8 @@ def main():
             data = {"provenance": data.pop("provenance", {}), "stacks":
                     {"full": data}}
     data["provenance"] = results.pop("provenance")
-    data.setdefault("stacks", {})[STACK] = results
+    # merge per-leg so interval sweeps run in separate invocations accumulate
+    data.setdefault("stacks", {}).setdefault(STACK, {}).update(results)
     with open(ARTIFACT, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     print(json.dumps({"summary": "trained-weight gates", **{

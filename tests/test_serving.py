@@ -162,6 +162,26 @@ def test_gn_carry_tier(tiny_params):
                               microbatch=2, **common)(jnp.array(x0))
     assert mb.shape == x0.shape and np.isfinite(np.asarray(mb)).all()
 
+    # drift-corrected carry: calibrates GN tables, serves record/reuse with
+    # the per-step batch-mean shift; must stay at least as close to the
+    # exact-GN cached reference as the plain carry (the correction is the
+    # identity when the tables are flat, a fix when they drift)
+    drifted = make_serving_sampler(TINY, tiny_params, gn_carry="drift",
+                                   **common)(x0)
+    assert drifted.shape == x0.shape
+    assert np.isfinite(np.asarray(drifted)).all()
+    err_d = float(jnp.max(jnp.abs(drifted - ref)))
+    assert err_d / scale < 0.15, (err_d, scale)
+
+    with pytest.raises(ValueError, match="linear"):
+        make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                             gn_carry="drift", conv_int8=False,
+                             static_gn=False, cache_interval=2,
+                             scheduler_alpha="cosine")
+    with pytest.raises(ValueError, match="gn_carry"):
+        make_serving_sampler(TINY, tiny_params, nb_steps=6,
+                             gn_carry="bogus", conv_int8=False,
+                             static_gn=False, cache_interval=2)
     with pytest.raises(ValueError, match="static_gn"):
         make_serving_sampler(TINY, tiny_params, nb_steps=6, gn_carry=True,
                              conv_int8=False, static_gn=True,
@@ -198,8 +218,9 @@ def test_validated_serving_impossible_gate_falls_back_to_bf16(tiny_params):
         TINY, tiny_params, nb_steps=5, res=16, probe_batch=2,
         gate_ssim=1.1, gate_psnr_db=500.0, cache_interval=2, verbose=False)
     probed = [r for r in report if "tier" in r]
-    assert len(probed) == 5 and all(r["gate"] == "fail" for r in probed)
-    assert any("gncarry" in r["tier"] for r in probed)  # r5 tier is probed
+    assert len(probed) == 6 and all(r["gate"] == "fail" for r in probed)
+    assert any("gncarry" in r["tier"] for r in probed)  # r5 tiers probed
+    assert any("gndrift" in r["tier"] for r in probed)
     assert report[-1]["chosen"] == "bf16 parity path"
     x0 = jnp.asarray(np.random.default_rng(7).standard_normal((2, 3, 16, 16)),
                      jnp.float32)

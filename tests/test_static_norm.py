@@ -233,6 +233,49 @@ def test_unet_gn_carry_cached_sampling(tiny_gn_models):
     assert err / scale < 0.15, (err, scale)
 
 
+def test_drift_correct_gnstats():
+    """Drift-corrected carry (r5): the per-sample stats recorded at the
+    group's full step shift by the calibrated batch-mean drift — additive
+    for mu, multiplicative (via the variance tables) for rstd; identity at
+    idx_cur == idx_ref; sites without tables pass through unchanged."""
+    from bndm_tpu.ops.static_norm import drift_correct_gnstats
+
+    rng = np.random.default_rng(5)
+    t_len, b, g, eps = 6, 3, 4, 1e-5
+    mu = jnp.asarray(rng.standard_normal((b, g)), jnp.float32)
+    rstd = jnp.asarray(rng.uniform(0.5, 2.0, (b, g)), jnp.float32)
+    mean_t = jnp.asarray(rng.standard_normal((t_len, g)), jnp.float32)
+    var_t = jnp.asarray(rng.uniform(0.2, 3.0, (t_len, g)), jnp.float32)
+    gnstats = {"blk": {"gn": {"mu": mu, "rstd": rstd}},
+               "orphan": {"gn": {"mu": mu, "rstd": rstd}}}
+    quant = {"blk": {"gn": {"gn_mean": mean_t, "gn_var": var_t}}}
+
+    got = drift_correct_gnstats(gnstats, quant, 4, 1, epsilon=eps)
+    want_mu = mu + (mean_t[4] - mean_t[1])[None]
+    want_rstd = rstd * jnp.sqrt((var_t[1] + eps) / (var_t[4] + eps))[None]
+    np.testing.assert_allclose(np.asarray(got["blk"]["gn"]["mu"]),
+                               np.asarray(want_mu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["blk"]["gn"]["rstd"]),
+                               np.asarray(want_rstd), rtol=1e-6)
+    # no tables for this site: untouched
+    np.testing.assert_array_equal(np.asarray(got["orphan"]["gn"]["mu"]),
+                                  np.asarray(mu))
+    np.testing.assert_array_equal(np.asarray(got["orphan"]["gn"]["rstd"]),
+                                  np.asarray(rstd))
+    # identity when the shallow step IS the reference step
+    same = drift_correct_gnstats(gnstats, quant, 2, 2, epsilon=eps)
+    np.testing.assert_allclose(np.asarray(same["blk"]["gn"]["mu"]),
+                               np.asarray(mu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(same["blk"]["gn"]["rstd"]),
+                               np.asarray(rstd), rtol=1e-6)
+    # out-of-range indices clip to the table ends
+    clipped = drift_correct_gnstats(gnstats, quant, t_len + 3, -2,
+                                    epsilon=eps)
+    want_clip = mu + (mean_t[t_len - 1] - mean_t[0])[None]
+    np.testing.assert_allclose(np.asarray(clipped["blk"]["gn"]["mu"]),
+                               np.asarray(want_clip), rtol=1e-6)
+
+
 def test_smooth_gn_tables():
     """smooth_gn_tables (r5 DDIM rescue): truncated box filter along the
     step axis of gn_mean/gn_var only; other leaves untouched; window<=1 is
